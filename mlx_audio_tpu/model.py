@@ -1,0 +1,77 @@
+"""FunctionalModel: the base class for every model family.
+
+The reference builds models as mlx `nn.Module` object graphs; here a model is
+a **config + pure apply functions + a params pytree**. The class instance is
+a thin handle that owns the params (on device), caches jitted step functions,
+and exposes the same public surface (`generate()` iterators, `sanitize()`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class FunctionalModel:
+    """Base for all model families (tts/stt/sts/vad/lid/codec)."""
+
+    def __init__(self, config):
+        self.config = config
+        self.params: Optional[dict] = None
+        self._jit_cache: Dict[Any, Any] = {}
+
+    # -- weight pipeline ---------------------------------------------------
+
+    def sanitize(self, weights: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        """Remap checkpoint keys / layouts. Default: passthrough."""
+        return weights
+
+    def bind(self, params: dict, strict: bool = False) -> None:
+        """Attach a params pytree to this model."""
+        if strict and hasattr(self, "init_params"):
+            expected = set(_leaf_paths(self.init_params(jax.random.PRNGKey(0))))
+            got = set(_leaf_paths(params))
+            missing = expected - got
+            if missing:
+                raise ValueError(f"Missing weights: {sorted(missing)[:20]}")
+        self.params = params
+
+    def init_and_bind(self, key=None) -> "FunctionalModel":
+        """Random-init params (tiny-config tests / benchmarks)."""
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        self.bind(self.init_params(key))
+        return self
+
+    # -- utilities ---------------------------------------------------------
+
+    def astype(self, dtype) -> "FunctionalModel":
+        """Cast floating-point params to dtype (e.g. jnp.bfloat16)."""
+        self.params = jax.tree.map(
+            lambda x: x.astype(dtype)
+            if isinstance(x, jax.Array) and jnp.issubdtype(x.dtype, jnp.floating)
+            else x,
+            self.params,
+        )
+        return self
+
+    def num_params(self) -> int:
+        return sum(
+            x.size for x in jax.tree.leaves(self.params)
+            if isinstance(x, jax.Array)
+        )
+
+
+def _leaf_paths(tree: dict, prefix: str = "") -> list:
+    out = []
+    for k, v in tree.items():
+        if str(k).startswith("_"):
+            continue
+        key = f"{prefix}.{k}" if prefix else str(k)
+        if isinstance(v, dict):
+            out.extend(_leaf_paths(v, key))
+        else:
+            out.append(key)
+    return out

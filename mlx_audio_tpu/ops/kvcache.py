@@ -1,0 +1,57 @@
+"""Static-shape KV caches for compiled autoregressive decoding.
+
+TPU-native design: the cache is a fixed-capacity buffer pytree
+(`(B, max_len, n_kv_heads, head_dim)` per layer) plus an integer write
+offset, updated in place via `lax.dynamic_update_slice` with buffer donation.
+The whole decode loop — including cache updates — compiles into one XLA
+while-loop; nothing reallocates per token (unlike the reference's growing
+mlx KVCache, SURVEY.md §2.10 "continuous batching w/ BatchKVCache").
+
+Batched serving uses the same structure with a per-row `lengths` vector and
+left-padded attention masks (parity target: the reference's BatchKVCache
+merge/extract, /root/reference/mlx_audio/tts/models/qwen3_tts/
+continuous_batching.py:275-319) — rows are admitted/retired by writing slices,
+never by reshaping.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+class KVCache(NamedTuple):
+    """Per-layer fixed-size cache. k/v: (B, max_len, n_kv_heads, head_dim)."""
+
+    k: Array
+    v: Array
+
+    @staticmethod
+    def init(batch: int, max_len: int, n_kv_heads: int, head_dim: int,
+             dtype=jnp.bfloat16) -> "KVCache":
+        shape = (batch, max_len, n_kv_heads, head_dim)
+        return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+def kv_update(cache: KVCache, k_new: Array, v_new: Array, offset: Array) -> KVCache:
+    """Write k_new/v_new (B, S, H, D) at time offset (scalar int32)."""
+    k = jax.lax.dynamic_update_slice(
+        cache.k, k_new.astype(cache.k.dtype), (0, offset, 0, 0))
+    v = jax.lax.dynamic_update_slice(
+        cache.v, v_new.astype(cache.v.dtype), (0, offset, 0, 0))
+    return KVCache(k, v)
+
+
+def kv_update_row(cache: KVCache, row: Array, k_new: Array, v_new: Array,
+                  offset: Array) -> KVCache:
+    """Write one batch row's new kv (S, H, D) at (row, offset) — used by the
+    continuous-batching admit path to splice a prefill into a live batch."""
+    k = jax.lax.dynamic_update_slice(
+        cache.k, k_new[None].astype(cache.k.dtype), (row, offset, 0, 0))
+    v = jax.lax.dynamic_update_slice(
+        cache.v, v_new[None].astype(cache.v.dtype), (row, offset, 0, 0))
+    return KVCache(k, v)

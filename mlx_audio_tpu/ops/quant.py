@@ -1,0 +1,117 @@
+"""Affine group-wise weight quantization (int8 / int4).
+
+Scheme: w ≈ scales * q + biases per contiguous group of `group_size` input
+features — the same affine layout the reference drives through
+`apply_quantization` (/root/reference/mlx_audio/utils.py:209-256) and the
+convert CLI's quant recipes (/root/reference/mlx_audio/convert.py:22-23).
+
+TPU design notes:
+* Codes are stored one-per-byte (uint8) or packed 2-per-byte for 4-bit;
+  dequantization is expressed so XLA fuses it into the consuming matmul —
+  weights stream HBM->VMEM once at ~half/quarter bf16 bytes, which is the
+  whole win for memory-bound AR decode.
+* A Pallas fused dequant-matmul kernel (ops/qmm_pallas.py) can replace the
+  XLA path for the largest layers; the functional contract stays identical.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def quantize_weight(
+    w: Array, group_size: int = 64, bits: int = 4
+) -> dict:
+    """Quantize (out, in) weight to affine group codes.
+
+    Returns params dict {'w_q': uint8 (out, in), 'scales': (out, in/gs),
+    'biases': (out, in/gs), '_bits', '_group_size'}.
+    """
+    out_f, in_f = w.shape
+    assert in_f % group_size == 0, (in_f, group_size)
+    g = w.reshape(out_f, in_f // group_size, group_size).astype(jnp.float32)
+    wmax = jnp.max(g, axis=-1)
+    wmin = jnp.min(g, axis=-1)
+    n_levels = (1 << bits) - 1
+    scales = jnp.maximum((wmax - wmin) / n_levels, 1e-8)
+    biases = wmin
+    q = jnp.clip(jnp.round((g - biases[..., None]) / scales[..., None]), 0, n_levels)
+    return {
+        "w_q": q.reshape(out_f, in_f).astype(jnp.uint8),
+        "scales": scales.astype(jnp.float32),
+        "biases": biases.astype(jnp.float32),
+        "_bits": bits,
+        "_group_size": group_size,
+    }
+
+
+def dequantize_weight(params: dict, dtype=jnp.float32) -> Array:
+    """Reconstruct the dense weight (out, in)."""
+    q = params["w_q"].astype(jnp.float32)
+    out_f, in_f = q.shape
+    gs = int(params["_group_size"])
+    qg = q.reshape(out_f, in_f // gs, gs)
+    w = qg * params["scales"][..., None] + params["biases"][..., None]
+    return w.reshape(out_f, in_f).astype(dtype)
+
+
+def qmatmul(params: dict, x: Array) -> Array:
+    """x (..., in) @ dequant(w)(out, in)^T [+ bias].
+
+    Written as (x * per-group) contractions so XLA fuses the dequant into the
+    matmul instead of materializing the full bf16 weight in HBM.
+    """
+    gs = int(params["_group_size"])
+    out_f, in_f = params["w_q"].shape
+    ng = in_f // gs
+    xg = x.reshape(x.shape[:-1] + (ng, gs))
+    qg = params["w_q"].reshape(out_f, ng, gs).astype(x.dtype)
+    scales = params["scales"].astype(x.dtype)  # (out, ng)
+    biases = params["biases"].astype(x.dtype)
+    # y = sum_g scales[o,g] * (x_g . q_g) + biases[o,g] * sum(x_g)
+    xq = jnp.einsum("...gi,ogi->...og", xg, qg)
+    xsum = jnp.sum(xg, axis=-1)  # (..., ng)
+    y = jnp.einsum("...og,og->...o", xq, scales) + jnp.einsum(
+        "...g,og->...o", xsum, biases
+    )
+    if "bias" in params:
+        y = y + params["bias"].astype(x.dtype)
+    return y
+
+
+def maybe_quantize_tree(
+    params,
+    group_size: int = 64,
+    bits: int = 4,
+    predicate=None,
+    path: str = "",
+):
+    """Recursively quantize every linear-like {'weight': (out,in)} leaf dict.
+
+    predicate(path, weight) -> bool gates per-layer quantization, mirroring
+    the reference's class_predicate (utils.py:224-248). Embeddings and convs
+    are skipped (ndim != 2 or vocab-shaped), as are layers whose input dim is
+    not divisible by group_size.
+    """
+    if isinstance(params, dict):
+        if "weight" in params and isinstance(params["weight"], jax.Array) \
+                and params["weight"].ndim == 2 and "w_q" not in params:
+            w = params["weight"]
+            ok = w.shape[1] % group_size == 0
+            if ok and (predicate is None or predicate(path, w)):
+                q = quantize_weight(w, group_size, bits)
+                rest = {k: v for k, v in params.items() if k != "weight"}
+                q.update(rest)
+                return q
+            return params
+        return {
+            k: maybe_quantize_tree(v, group_size, bits, predicate,
+                                   f"{path}.{k}" if path else k)
+            for k, v in params.items()
+        }
+    return params

@@ -1,0 +1,72 @@
+"""NamedSharding rules for model param pytrees.
+
+Tensor-parallel layout for transformer backbones (the ≥4B families: Higgs v3,
+Voxtral, VibeVoice-ASR — SURVEY.md §2.10 "TPU build plan"):
+
+* attention q/k/v projections: shard output dim (heads) over "tp"
+* attention o projection:      shard input dim over "tp"  (psum on output)
+* mlp up/gate:                 shard output dim over "tp"
+* mlp down:                    shard input dim over "tp"
+* embeddings / norms:          replicated
+* batch axis of activations:   "dp"
+
+XLA inserts the all-reduces from these annotations; layouts keep the
+collectives on ICI.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, Dict, Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def replicate(mesh: Mesh):
+    return NamedSharding(mesh, P())
+
+
+def data_sharding(mesh: Mesh, ndim: int = 2):
+    """Shard the leading (batch) axis over 'dp'."""
+    return NamedSharding(mesh, P(*(("dp",) + (None,) * (ndim - 1))))
+
+
+# rule: regex on the flattened param path -> PartitionSpec factory(ndim)
+def transformer_param_rules() -> Dict[str, Callable[[int], P]]:
+    col = lambda ndim: P(*((["tp"] + [None] * (ndim - 1))))      # (out, in): out sharded
+    row = lambda ndim: P(*(([None] * (ndim - 1) + ["tp"])))      # (out, in): in sharded
+    return {
+        r"\.(q_proj|k_proj|v_proj)\.weight$": col,
+        r"\.(gate_proj|up_proj)\.weight$": col,
+        r"\.(q_proj|k_proj|v_proj)\.bias$": col,
+        r"\.o_proj\.weight$": row,
+        r"\.down_proj\.weight$": row,
+        r"\.(wqkv|in_proj)\.weight$": col,
+        r"\.(wo|out_proj)\.weight$": row,
+    }
+
+
+def spec_for_path(path: str, ndim: int,
+                  rules: Optional[Dict] = None) -> P:
+    rules = rules or transformer_param_rules()
+    for pattern, fn in rules.items():
+        if re.search(pattern, path):
+            return fn(ndim)
+    return P()
+
+
+def shard_params(params: dict, mesh: Mesh, rules: Optional[Dict] = None,
+                 prefix: str = "") -> dict:
+    """Device-put a params pytree according to path rules."""
+    out = {}
+    for k, v in params.items():
+        path = f"{prefix}.{k}" if prefix else str(k)
+        if isinstance(v, dict):
+            out[k] = shard_params(v, mesh, rules, path)
+        elif isinstance(v, jax.Array):
+            spec = spec_for_path(path, v.ndim, rules)
+            out[k] = jax.device_put(v, NamedSharding(mesh, spec))
+        else:
+            out[k] = v
+    return out

@@ -1,0 +1,45 @@
+"""TTS model registry + loader.
+
+Parity: /root/reference/mlx_audio/tts/utils.py (MODEL_REMAPPING :19-47,
+load/load_model :100-155).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Union
+
+from ..utils import base_load_model
+
+MODEL_REMAPPING = {
+    "style_tts": "kokoro",
+    "kokoro": "kokoro",
+    "kitten": "kitten_tts",
+    "kittentts": "kitten_tts",
+    "qwen3_tts": "qwen3_tts",
+    "qwen3tts": "qwen3_tts",
+    "csm": "sesame",
+    "sesame": "sesame",
+    "higgs": "higgs_audio_v3",
+    "higgs_audio_v3": "higgs_audio_v3",
+    "higgs_audio": "higgs_audio_v3",
+    "bark": "bark",
+    "dia": "dia",
+    "spark": "spark",
+    "outetts": "outetts",
+    "melotts": "melotts",
+    "vits": "melotts",
+}
+
+
+def load_model(model_path: Union[str, Path], **kwargs):
+    return base_load_model(
+        model_path=model_path,
+        category="tts",
+        model_remapping=MODEL_REMAPPING,
+        **kwargs,
+    )
+
+
+# soft alias matching the reference's dual name surface
+load = load_model

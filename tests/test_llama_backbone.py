@@ -1,0 +1,166 @@
+"""Shared llama backbone: KV-cache decode parity, GQA, TP sharding."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mlx_audio_tpu.tts.models.llama import ModelConfig, init_llama
+from mlx_audio_tpu.tts.models.llama.llama import (
+    decode_step,
+    init_caches,
+    llama_forward,
+    logits_from_hidden,
+)
+
+CFG = ModelConfig(
+    hidden_size=32, num_hidden_layers=2, intermediate_size=64,
+    num_attention_heads=4, num_key_value_heads=2, vocab_size=64,
+    head_dim=8, rope_theta=10000.0)
+
+
+def _params():
+    return init_llama(jax.random.PRNGKey(0), CFG)
+
+
+class TestForward:
+    def test_shapes(self):
+        p = _params()
+        toks = jnp.asarray(np.random.RandomState(0).randint(0, 64, (2, 10)))
+        h, _ = llama_forward(p, CFG, toks)
+        assert h.shape == (2, 10, 32)
+        logits = logits_from_hidden(p, CFG, h)
+        assert logits.shape == (2, 10, 64)
+
+    def test_causality(self):
+        """Changing a future token must not affect past logits."""
+        p = _params()
+        t1 = jnp.asarray([[1, 2, 3, 4, 5]])
+        t2 = jnp.asarray([[1, 2, 3, 9, 9]])
+        h1, _ = llama_forward(p, CFG, t1)
+        h2, _ = llama_forward(p, CFG, t2)
+        np.testing.assert_allclose(np.asarray(h1[:, :3]), np.asarray(h2[:, :3]),
+                                   atol=1e-6)
+
+    def test_cached_decode_matches_full_forward(self):
+        """Prefill+steps through the KV cache == one full causal forward."""
+        p = _params()
+        toks = jnp.asarray(np.random.RandomState(1).randint(0, 64, (1, 8)))
+        h_full, _ = llama_forward(p, CFG, toks)
+        ref_logits = np.asarray(logits_from_hidden(p, CFG, h_full))
+
+        caches = init_caches(CFG, 1, 16, dtype=jnp.float32)
+        # prefill 5 tokens
+        h_pre, caches = llama_forward(p, CFG, toks[:, :5], caches=caches,
+                                      offset=0)
+        np.testing.assert_allclose(
+            np.asarray(logits_from_hidden(p, CFG, h_pre)),
+            ref_logits[:, :5], atol=1e-4)
+        # decode 3 single steps
+        for i in range(5, 8):
+            logits, caches = decode_step(p, CFG, toks[:, i:i + 1], caches,
+                                         offset=jnp.int32(i))
+            np.testing.assert_allclose(np.asarray(logits), ref_logits[:, i],
+                                       atol=1e-4)
+
+
+class TestTensorParallel:
+    def test_tp_sharded_forward_matches_single(self):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from mlx_audio_tpu.parallel import make_mesh, shard_params
+
+        assert len(jax.devices()) >= 8
+        mesh = make_mesh((2, 4), ("dp", "tp"))
+        p = _params()
+        toks = jnp.asarray(np.random.RandomState(2).randint(0, 64, (2, 6)))
+        h_ref, _ = llama_forward(p, CFG, toks)
+
+        ps = shard_params(p, mesh)
+        toks_s = jax.device_put(toks, NamedSharding(mesh, P("dp", None)))
+        with mesh:
+            h_tp, _ = jax.jit(
+                lambda pp, tt: llama_forward(pp, CFG, tt))(ps, toks_s)
+        np.testing.assert_allclose(np.asarray(h_tp), np.asarray(h_ref),
+                                   atol=1e-5)
+
+
+class TestSampling:
+    def test_argmax_at_zero_temperature(self):
+        from mlx_audio_tpu.ops.sampling import make_sampler
+
+        sampler = make_sampler(temperature=0.0)
+        logits = jnp.asarray([[0.1, 3.0, -1.0], [5.0, 0.0, 0.0]])
+        toks = sampler(jax.random.PRNGKey(0), logits)
+        np.testing.assert_array_equal(np.asarray(toks), [1, 0])
+
+    def test_top_k_masks_tail(self):
+        from mlx_audio_tpu.ops.sampling import top_k_top_p_filter
+
+        logits = jnp.asarray([[1.0, 2.0, 3.0, 4.0]])
+        out = np.asarray(top_k_top_p_filter(logits, top_k=2))
+        assert np.isneginf(out[0, 0]) and np.isneginf(out[0, 1])
+        assert out[0, 2] == 3.0 and out[0, 3] == 4.0
+
+    def test_top_p_keeps_top1(self):
+        from mlx_audio_tpu.ops.sampling import top_k_top_p_filter
+
+        logits = jnp.asarray([[10.0, 0.0, 0.0, 0.0]])
+        out = np.asarray(top_k_top_p_filter(logits, top_p=0.1))
+        assert out[0, 0] == 10.0
+        assert np.isneginf(out[0, 1:]).all()
+
+    def test_repetition_penalty(self):
+        from mlx_audio_tpu.ops.sampling import apply_repetition_penalty
+
+        logits = jnp.asarray([[2.0, -2.0, 1.0]])
+        hist = jnp.asarray([[0, 1, -1]])
+        out = np.asarray(apply_repetition_penalty(logits, hist, 2.0))
+        np.testing.assert_allclose(out, [[1.0, -4.0, 1.0]])
+
+    def test_distribution_respects_temperature(self):
+        from mlx_audio_tpu.ops.sampling import make_sampler
+
+        sampler = make_sampler(temperature=1.0)
+        logits = jnp.tile(jnp.asarray([[0.0, 2.0]]), (1000, 1))
+        toks = np.asarray(sampler(jax.random.PRNGKey(0), logits))
+        frac = toks.mean()
+        assert 0.75 < frac < 0.95  # sigmoid(2) ~ 0.88
+
+
+class TestQuant:
+    def test_quantize_dequantize_roundtrip(self):
+        from mlx_audio_tpu.ops.quant import dequantize_weight, quantize_weight
+
+        w = jnp.asarray(np.random.RandomState(0).randn(16, 64).astype(np.float32))
+        q8 = quantize_weight(w, group_size=32, bits=8)
+        err8 = np.abs(np.asarray(dequantize_weight(q8)) - np.asarray(w)).max()
+        q4 = quantize_weight(w, group_size=32, bits=4)
+        err4 = np.abs(np.asarray(dequantize_weight(q4)) - np.asarray(w)).max()
+        assert err8 < 0.02
+        assert err4 < 0.3
+        assert err8 < err4
+
+    def test_qmatmul_matches_dequant_matmul(self):
+        from mlx_audio_tpu.ops.quant import dequantize_weight, qmatmul, quantize_weight
+
+        rng = np.random.RandomState(1)
+        w = jnp.asarray(rng.randn(24, 64).astype(np.float32))
+        x = jnp.asarray(rng.randn(3, 64).astype(np.float32))
+        q = quantize_weight(w, group_size=16, bits=4)
+        ref = x @ dequantize_weight(q).T
+        got = qmatmul(q, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-3)
+
+    def test_apply_linear_dispatches_quantized(self):
+        from mlx_audio_tpu.nn import apply_linear
+        from mlx_audio_tpu.ops.quant import quantize_weight
+
+        rng = np.random.RandomState(2)
+        w = jnp.asarray(rng.randn(8, 32).astype(np.float32))
+        x = jnp.asarray(rng.randn(2, 32).astype(np.float32))
+        q = quantize_weight(w, group_size=16, bits=8)
+        q["bias"] = jnp.zeros(8)
+        dense = apply_linear({"weight": w, "bias": jnp.zeros(8)}, x)
+        quant = apply_linear(q, x)
+        np.testing.assert_allclose(np.asarray(quant), np.asarray(dense),
+                                   atol=0.2)
