@@ -1,0 +1,47 @@
+"""STT model registry + loader + audio helpers.
+
+Parity: /root/reference/mlx_audio/stt/utils.py (MODEL_REMAPPING :55-75,
+load_audio :84). The reference's `wired_limit` Metal working-set guard (:16)
+has no TPU analog — HBM is managed by XLA; we expose a no-op shim for API
+compatibility.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+from pathlib import Path
+from typing import Union
+
+from ..utils import base_load_model
+
+MODEL_REMAPPING = {
+    "whisper": "whisper",
+    "distil": "whisper",
+    "voxtral_realtime": "voxtral_realtime",
+    "parakeet": "parakeet",
+    "silero": "silero_vad",
+}
+
+
+def load_model(model_path: Union[str, Path], **kwargs):
+    return base_load_model(
+        model_path=model_path,
+        category="stt",
+        model_remapping=MODEL_REMAPPING,
+        **kwargs,
+    )
+
+
+load = load_model
+
+
+@contextmanager
+def wired_limit(*args, **kwargs):
+    """No-op on TPU (reference stt/utils.py:16-52 pins Metal working set)."""
+    yield
+
+
+def load_audio(path, sample_rate: int = 16000):
+    from ..utils import load_audio as _load
+
+    return _load(path, sample_rate=sample_rate)
