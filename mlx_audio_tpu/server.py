@@ -1,0 +1,584 @@
+"""OpenAI-compatible REST + WebSocket audio server (aiohttp).
+
+Parity: /root/reference/mlx_audio/server.py (2116 LoC on FastAPI): endpoints
+`POST /v1/audio/speech` :932, `/v1/audio/transcriptions` :994 (json/text/
+verbose_json/srt/vtt), model management :876-929, `/v1/audio/voices` :960,
+`WS /v1/audio/transcriptions/realtime` :1224, OpenAI-Realtime-compatible
+`WS /v1/realtime` :1549 (server_vad turn detection, pre-roll flush,
+session.update protocol), ModelProvider cache :92, execution adapters
+:271-820. FastAPI is unavailable in this environment, so the HTTP layer is
+aiohttp; the request/response schemas are unchanged.
+
+All device work flows through the single-threaded InferenceBroker
+(server_inference.py) exactly like the reference.
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import base64
+import io
+import json
+import os
+import queue
+import time
+import uuid
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from . import audio_io
+from .realtime_vad import (
+    VAD_SAMPLE_RATE,
+    ServerVadConfig,
+    StreamingVad,
+    TurnDetectionError,
+    TurnEventKind,
+    parse_turn_detection,
+)
+from .server_inference import (
+    BaseModelExecutionAdapter,
+    InferenceBroker,
+    InferenceRequest,
+)
+
+try:
+    from aiohttp import WSMsgType, web
+except ImportError as e:  # pragma: no cover
+    raise ImportError("The server requires aiohttp (bundled in this env)") from e
+
+
+# ---------------------------------------------------------------------------
+# Model provider (reference server.py:92-242)
+# ---------------------------------------------------------------------------
+
+
+class ModelProvider:
+    """Loads and caches models by (name, category)."""
+
+    def __init__(self):
+        self._models: Dict[str, Any] = {}
+        self._lock = asyncio.Lock()
+
+    def loaded(self) -> List[str]:
+        return sorted(self._models)
+
+    def get_cached(self, name: str):
+        return self._models.get(name)
+
+    async def load(self, name: str, category: Optional[str] = None):
+        async with self._lock:
+            if name in self._models:
+                return self._models[name]
+            from .utils import load_model
+
+            model = await asyncio.to_thread(load_model, name,
+                                            **({"category": category}
+                                               if category else {}))
+            self._models[name] = model
+            return model
+
+    def unload(self, name: str) -> bool:
+        return self._models.pop(name, None) is not None
+
+
+# ---------------------------------------------------------------------------
+# TTS execution adapter (reference server.py:423-754)
+# ---------------------------------------------------------------------------
+
+
+class TTSExecutionAdapter(BaseModelExecutionAdapter):
+    """Runs model.generate on the broker thread, emitting encoded chunks.
+
+    Capability sniffing via inspect.signature mirrors the reference
+    (server.py:497-526): only kwargs the model's generate() accepts are
+    forwarded.
+    """
+
+    max_batch_size = int(os.environ.get("MLX_AUDIO_TTS_MAX_BATCH_SIZE", "1"))
+
+    def __init__(self, provider: ModelProvider):
+        self.provider = provider
+
+    def run_serial(self, request: InferenceRequest) -> None:
+        import inspect
+
+        model = self.provider.get_cached(request.model_name)
+        if model is None:
+            raise ValueError(f"Model not loaded: {request.model_name}")
+        kwargs = dict(request.normalized_kwargs)
+        text = request.payload
+        sig = inspect.signature(model.generate).parameters
+        has_var = any(p.kind == inspect.Parameter.VAR_KEYWORD
+                      for p in sig.values())
+        if not has_var:
+            kwargs = {k: v for k, v in kwargs.items() if k in sig}
+        for result in model.generate(text, **kwargs):
+            if request.cancel_event.is_set():
+                break
+            audio = np.asarray(result.audio)
+            if audio.size:
+                request.emit_data({
+                    "audio": audio,
+                    "sample_rate": result.sample_rate,
+                    "is_final": getattr(result, "is_final_chunk", False),
+                })
+        request.emit_done()
+
+
+class STTExecutionAdapter(BaseModelExecutionAdapter):
+    def __init__(self, provider: ModelProvider):
+        self.provider = provider
+
+    def run_serial(self, request: InferenceRequest) -> None:
+        model = self.provider.get_cached(request.model_name)
+        if model is None:
+            raise ValueError(f"Model not loaded: {request.model_name}")
+        output = model.generate(request.payload, **request.normalized_kwargs)
+        request.emit_data(output)
+        request.emit_done()
+
+
+# ---------------------------------------------------------------------------
+# Server app
+# ---------------------------------------------------------------------------
+
+
+def _encode_wav(audio: np.ndarray, sample_rate: int) -> bytes:
+    buf = io.BytesIO()
+    audio_io.write(buf, audio, sample_rate, format="wav")
+    return buf.getvalue()
+
+
+async def _drain_handle(handle, timeout: float = 600.0):
+    """Async-iterate broker result chunks (reference :834-871 poll loop)."""
+    loop = asyncio.get_event_loop()
+    deadline = time.time() + timeout
+    while True:
+        try:
+            chunk = await asyncio.to_thread(handle.result_queue.get, True, 1.0)
+        except queue.Empty:
+            if time.time() > deadline:
+                handle.cancel()
+                raise TimeoutError("inference timed out")
+            continue
+        if chunk.kind == "error":
+            raise chunk.error
+        if chunk.kind == "done":
+            return
+        yield chunk.payload
+
+
+class AudioServer:
+    def __init__(self):
+        self.provider = ModelProvider()
+        self.broker = InferenceBroker()
+        self.broker.register_adapter("tts", TTSExecutionAdapter(self.provider))
+        self.broker.register_adapter("stt", STTExecutionAdapter(self.provider))
+        self.app = web.Application(client_max_size=512 * 1024 * 1024)
+        self._routes()
+
+    def _routes(self):
+        r = self.app.router
+        r.add_get("/health", self.health)
+        r.add_get("/v1/models", self.list_models)
+        r.add_post("/v1/models", self.load_model_ep)
+        r.add_delete("/v1/models/{model_id:.*}", self.unload_model_ep)
+        r.add_get("/v1/audio/voices", self.list_voices)
+        r.add_post("/v1/audio/speech", self.tts_speech)
+        r.add_post("/v1/audio/transcriptions", self.stt_transcribe)
+        r.add_post("/v1/audio/separations", self.separations)
+        r.add_get("/v1/audio/transcriptions/realtime", self.ws_transcriptions)
+        r.add_get("/v1/realtime", self.ws_realtime)
+
+    # -- basic -------------------------------------------------------------
+
+    async def health(self, request):
+        return web.json_response({"status": "ok"})
+
+    async def list_models(self, request):
+        return web.json_response({
+            "object": "list",
+            "data": [{"id": m, "object": "model"} for m in
+                     self.provider.loaded()],
+        })
+
+    async def load_model_ep(self, request):
+        body = await request.json()
+        name = body.get("model")
+        if not name:
+            return web.json_response({"error": "missing 'model'"}, status=400)
+        try:
+            await self.provider.load(name)
+        except Exception as e:
+            return web.json_response({"error": str(e)}, status=404)
+        return web.json_response({"id": name, "object": "model"})
+
+    async def unload_model_ep(self, request):
+        name = request.match_info["model_id"]
+        if not self.provider.unload(name):
+            return web.json_response({"error": f"model not loaded: {name}"},
+                                     status=404)
+        return web.json_response({"deleted": True, "id": name})
+
+    async def list_voices(self, request):
+        """Aggregate voices of loaded TTS models (reference :960-993)."""
+        voices = {}
+        for name in self.provider.loaded():
+            model = self.provider.get_cached(name)
+            model_voices = []
+            path = getattr(getattr(model, "config", None), "model_path", "")
+            vdir = os.path.join(str(path), "voices") if path else ""
+            if vdir and os.path.isdir(vdir):
+                model_voices = sorted(
+                    os.path.splitext(f)[0] for f in os.listdir(vdir)
+                    if f.endswith((".safetensors", ".npy")))
+            if hasattr(model, "get_supported_speakers"):
+                model_voices += model.get_supported_speakers()
+            voices[name] = model_voices
+        return web.json_response({"voices": voices})
+
+    # -- TTS ----------------------------------------------------------------
+
+    async def tts_speech(self, request):
+        """POST /v1/audio/speech (reference :932-959)."""
+        try:
+            body = await request.json()
+        except Exception:
+            return web.json_response({"error": "invalid JSON body"},
+                                     status=400)
+        text = body.get("input")
+        model_name = body.get("model")
+        if not text or not model_name:
+            return web.json_response(
+                {"error": "'model' and 'input' are required"}, status=400)
+        response_format = body.get("response_format", "wav")
+        if response_format not in ("wav", "pcm"):
+            return web.json_response(
+                {"error": f"unsupported response_format: {response_format} "
+                          "(this build encodes wav/pcm natively; compressed "
+                          "formats require ffmpeg)"}, status=400)
+        stream = bool(body.get("stream", False))
+        kwargs = {}
+        for k_src, k_dst in (("voice", "voice"), ("speed", "speed"),
+                             ("lang_code", "lang_code"),
+                             ("language", "language"),
+                             ("temperature", "temperature"),
+                             ("top_p", "top_p"), ("top_k", "top_k"),
+                             ("repetition_penalty", "repetition_penalty"),
+                             ("max_tokens", "max_tokens"), ("seed", "seed")):
+            if body.get(k_src) is not None:
+                kwargs[k_dst] = body[k_src]
+        if stream:
+            kwargs["stream"] = True
+
+        # preflight load so failures become clean HTTP errors (reference :243)
+        try:
+            await self.provider.load(model_name, category="tts")
+        except Exception as e:
+            return web.json_response({"error": str(e)}, status=404)
+
+        handle = self.broker.submit(endpoint_kind="tts",
+                                    model_name=model_name, payload=text,
+                                    normalized_kwargs=kwargs, stream=stream)
+        if stream:
+            resp = web.StreamResponse(headers={
+                "Content-Type": "audio/wav" if response_format == "wav"
+                else "application/octet-stream",
+                "Transfer-Encoding": "chunked"})
+            await resp.prepare(request)
+            try:
+                async for payload in _drain_handle(handle):
+                    audio = payload["audio"]
+                    if response_format == "pcm":
+                        pcm = np.clip(np.round(audio * 32768.0), -32768,
+                                      32767).astype("<i2").tobytes()
+                        await resp.write(pcm)
+                    else:
+                        await resp.write(
+                            _encode_wav(audio, payload["sample_rate"]))
+            except Exception as e:
+                await resp.write(json.dumps({"error": str(e)}).encode())
+            await resp.write_eof()
+            return resp
+
+        chunks, rate = [], 24000
+        try:
+            async for payload in _drain_handle(handle):
+                chunks.append(payload["audio"])
+                rate = payload["sample_rate"]
+        except Exception as e:
+            return web.json_response({"error": str(e)}, status=500)
+        if not chunks:
+            return web.json_response({"error": "no audio generated"},
+                                     status=500)
+        audio = np.concatenate(chunks)
+        if response_format == "pcm":
+            body_bytes = np.clip(np.round(audio * 32768.0), -32768,
+                                 32767).astype("<i2").tobytes()
+            ct = "application/octet-stream"
+        else:
+            body_bytes = _encode_wav(audio, rate)
+            ct = "audio/wav"
+        return web.Response(body=body_bytes, content_type=ct)
+
+    # -- STT ----------------------------------------------------------------
+
+    async def stt_transcribe(self, request):
+        """POST /v1/audio/transcriptions (reference :994-1108)."""
+        reader = await request.multipart() if request.content_type.startswith(
+            "multipart/") else None
+        fields: Dict[str, Any] = {}
+        audio_bytes = None
+        if reader is not None:
+            async for part in reader:
+                if part.name == "file":
+                    audio_bytes = await part.read(decode=False)
+                else:
+                    fields[part.name] = (await part.read(decode=False)).decode()
+        else:
+            body = await request.json()
+            fields = dict(body)
+            if "file" in fields:
+                audio_bytes = base64.b64decode(fields.pop("file"))
+        if audio_bytes is None:
+            return web.json_response({"error": "missing audio 'file'"},
+                                     status=400)
+        model_name = fields.get("model")
+        if not model_name:
+            return web.json_response({"error": "missing 'model'"}, status=400)
+        response_format = fields.get("response_format", "json")
+
+        try:
+            await self.provider.load(model_name, category="stt")
+        except Exception as e:
+            return web.json_response({"error": str(e)}, status=404)
+
+        audio, sr = audio_io.read(io.BytesIO(audio_bytes), dtype="float32")
+        if audio.ndim > 1:
+            audio = audio.mean(axis=1)
+        if sr != 16000:
+            from .utils import resample_audio
+
+            audio = resample_audio(audio, sr, 16000)
+        kwargs = {}
+        if fields.get("language"):
+            kwargs["language"] = fields["language"]
+        if fields.get("temperature") is not None:
+            try:
+                kwargs["temperature"] = float(fields["temperature"])
+            except (TypeError, ValueError):
+                pass
+
+        handle = self.broker.submit(endpoint_kind="stt",
+                                    model_name=model_name, payload=audio,
+                                    normalized_kwargs=kwargs)
+        output = None
+        try:
+            async for payload in _drain_handle(handle):
+                output = payload
+        except Exception as e:
+            return web.json_response({"error": str(e)}, status=500)
+
+        if response_format == "text":
+            return web.Response(text=output.text.strip(),
+                                content_type="text/plain")
+        if response_format in ("srt", "vtt"):
+            from .stt.generate import save_as_srt, save_as_vtt
+            import tempfile
+            from pathlib import Path
+
+            with tempfile.TemporaryDirectory() as td:
+                p = Path(td) / f"t.{response_format}"
+                (save_as_srt if response_format == "srt" else save_as_vtt)(
+                    output, p)
+                return web.Response(text=p.read_text(),
+                                    content_type="text/plain")
+        if response_format == "verbose_json":
+            return web.json_response({
+                "task": "transcribe",
+                "language": output.language,
+                "text": output.text,
+                "segments": output.segments,
+            })
+        return web.json_response({"text": output.text})
+
+    async def separations(self, request):
+        return web.json_response(
+            {"error": "audio separation model (sam_audio) is not yet "
+                      "available in this build"}, status=501)
+
+    # -- WS: realtime transcription (reference :1224-1460) ------------------
+
+    async def ws_transcriptions(self, request):
+        ws = web.WebSocketResponse()
+        await ws.prepare(request)
+        model_name = request.query.get(
+            "model", os.environ.get("MLX_AUDIO_REALTIME_MODEL", ""))
+        if not model_name:
+            await ws.send_json({"type": "error",
+                                "error": "no model specified"})
+            await ws.close()
+            return ws
+        try:
+            model = await self.provider.load(model_name, category="stt")
+        except Exception as e:
+            await ws.send_json({"type": "error", "error": str(e)})
+            await ws.close()
+            return ws
+
+        buffer = np.zeros(0, np.float32)
+        async for msg in ws:
+            if msg.type == WSMsgType.BINARY:
+                pcm = np.frombuffer(msg.data, dtype="<i2").astype(
+                    np.float32) / 32768.0
+                buffer = np.concatenate([buffer, pcm])
+            elif msg.type == WSMsgType.TEXT:
+                data = json.loads(msg.data)
+                if data.get("type") == "commit" and len(buffer) > 1600:
+                    audio = buffer
+                    buffer = np.zeros(0, np.float32)
+                    out = await asyncio.to_thread(model.generate, audio)
+                    await ws.send_json({"type": "transcription",
+                                        "text": out.text.strip()})
+                elif data.get("type") == "close":
+                    break
+        await ws.close()
+        return ws
+
+    # -- WS: OpenAI realtime (reference :1549-1936) --------------------------
+
+    async def ws_realtime(self, request):
+        ws = web.WebSocketResponse()
+        await ws.prepare(request)
+        session_id = f"sess_{uuid.uuid4().hex[:16]}"
+        model_name = request.query.get(
+            "model", os.environ.get("MLX_AUDIO_REALTIME_MODEL", ""))
+        model = None
+        if model_name:
+            try:
+                model = await self.provider.load(model_name, category="stt")
+            except Exception as e:
+                await ws.send_json({"type": "error", "error": {
+                    "message": str(e)}})
+                await ws.close()
+                return ws
+
+        vad_config: Optional[ServerVadConfig] = ServerVadConfig()
+        svad: Optional[StreamingVad] = None
+        vad_model_name = os.environ.get("MLX_AUDIO_VAD_MODEL", "")
+        if vad_model_name:
+            try:
+                vad_model = await self.provider.load(vad_model_name,
+                                                     category="vad")
+                svad = StreamingVad(vad_model, vad_config)
+            except Exception:
+                svad = None
+
+        audio_buf = np.zeros(0, np.float32)
+        preroll = np.zeros(0, np.float32)
+        feeding = svad is None  # no VAD -> manual commit mode
+        item_id = 0
+
+        await ws.send_json({
+            "type": "session.created",
+            "session": {"id": session_id, "model": model_name,
+                        "turn_detection": vad_config.to_dict()
+                        if vad_config else None},
+        })
+
+        async def finalize_turn():
+            nonlocal audio_buf, item_id
+            if model is None or len(audio_buf) < 1600:
+                audio_buf = np.zeros(0, np.float32)
+                return
+            audio = audio_buf
+            audio_buf = np.zeros(0, np.float32)
+            out = await asyncio.to_thread(model.generate, audio)
+            item_id += 1
+            await ws.send_json({
+                "type":
+                    "conversation.item.input_audio_transcription.completed",
+                "item_id": f"item_{item_id}",
+                "transcript": out.text.strip(),
+            })
+
+        async for msg in ws:
+            if msg.type != WSMsgType.TEXT:
+                continue
+            try:
+                event = json.loads(msg.data)
+            except json.JSONDecodeError:
+                await ws.send_json({"type": "error", "error": {
+                    "message": "invalid JSON"}})
+                continue
+            etype = event.get("type")
+            if etype == "session.update":
+                td = event.get("session", {}).get("turn_detection", "missing")
+                if td != "missing":
+                    try:
+                        vad_config = parse_turn_detection(td)
+                    except TurnDetectionError as e:
+                        await ws.send_json({"type": "error", "error": {
+                            "message": str(e)}})
+                        continue
+                    if vad_config is None:
+                        svad, feeding = None, True
+                    elif svad is not None:
+                        svad = StreamingVad(svad._vad, vad_config)
+                await ws.send_json({"type": "session.updated",
+                                    "session": {"id": session_id}})
+            elif etype == "input_audio_buffer.append":
+                pcm = np.frombuffer(
+                    base64.b64decode(event.get("audio", "")),
+                    dtype="<i2").astype(np.float32) / 32768.0
+                if svad is not None:
+                    events = await asyncio.to_thread(svad.process, pcm)
+                    for ev in events:
+                        if ev.kind == TurnEventKind.SPEECH_STARTED:
+                            feeding = True
+                            audio_buf = np.concatenate([audio_buf, preroll])
+                            preroll = np.zeros(0, np.float32)
+                            await ws.send_json({
+                                "type": "input_audio_buffer.speech_started",
+                                "audio_start_ms": ev.audio_ms})
+                        elif ev.kind == TurnEventKind.SPEECH_STOPPED:
+                            await ws.send_json({
+                                "type": "input_audio_buffer.speech_stopped",
+                                "audio_end_ms": ev.audio_ms})
+                            await finalize_turn()
+                            feeding = False
+                    if feeding:
+                        audio_buf = np.concatenate([audio_buf, pcm])
+                    else:
+                        # keep pre-roll so speech onsets aren't clipped
+                        keep = int(VAD_SAMPLE_RATE * 0.5)
+                        preroll = np.concatenate([preroll, pcm])[-keep:]
+                else:
+                    audio_buf = np.concatenate([audio_buf, pcm])
+            elif etype == "input_audio_buffer.commit":
+                await finalize_turn()
+            elif etype == "input_audio_buffer.clear":
+                audio_buf = np.zeros(0, np.float32)
+                await ws.send_json({"type": "input_audio_buffer.cleared"})
+            elif etype == "session.close":
+                break
+        await ws.close()
+        return ws
+
+
+def create_app() -> web.Application:
+    return AudioServer().app
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="mlx_audio_tpu server")
+    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=8000)
+    args = parser.parse_args(argv)
+    web.run_app(create_app(), host=args.host, port=args.port)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,341 @@
+"""Server tests: broker routing + REST/WS endpoints with mock models.
+
+Pattern follows the reference (tests/test_server.py:22-35 — TestClient with
+mocked model_provider; broker logic unit-tested separately). No pytest-asyncio
+in this env, so async cases run under asyncio.run().
+"""
+
+import asyncio
+import io
+import json
+import queue
+import threading
+import time
+from dataclasses import dataclass
+from typing import List
+
+import numpy as np
+import pytest
+
+from mlx_audio_tpu.server_inference import (
+    BaseModelExecutionAdapter,
+    InferenceBroker,
+)
+
+
+# ---------------------------------------------------------------------------
+# Broker
+# ---------------------------------------------------------------------------
+
+
+class EchoAdapter(BaseModelExecutionAdapter):
+    def __init__(self):
+        self.calls: List[str] = []
+
+    def run_serial(self, request):
+        self.calls.append(request.payload)
+        request.emit_data(request.payload.upper())
+        request.emit_done()
+
+
+class BatchAdapter(BaseModelExecutionAdapter):
+    max_batch_size = 4
+
+    def __init__(self):
+        self.batches: List[int] = []
+
+    def supports_batch(self, request):
+        return True
+
+    def batch_key(self, request):
+        return "k"
+
+    def run_batch(self, requests):
+        self.batches.append(len(requests))
+        for r in requests:
+            r.emit_data(r.payload * 2)
+            r.emit_done()
+
+    run_serial = lambda self, r: self.run_batch([r])
+
+
+def _drain(handle, timeout=5.0):
+    out = []
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        chunk = handle.result_queue.get(timeout=timeout)
+        if chunk.kind == "done":
+            return out
+        if chunk.kind == "error":
+            raise chunk.error
+        out.append(chunk.payload)
+    raise TimeoutError
+
+
+class TestBroker:
+    def test_serial_roundtrip(self):
+        broker = InferenceBroker()
+        adapter = EchoAdapter()
+        broker.register_adapter("tts", adapter)
+        h = broker.submit(endpoint_kind="tts", model_name="m", payload="hello")
+        assert _drain(h) == ["HELLO"]
+        broker.stop_and_join()
+
+    def test_unknown_endpoint_raises(self):
+        broker = InferenceBroker()
+        with pytest.raises(ValueError):
+            broker.submit(endpoint_kind="nope", model_name="m", payload="x")
+        broker.stop_and_join()
+
+    def test_error_propagates(self):
+        class Boom(BaseModelExecutionAdapter):
+            def run_serial(self, request):
+                raise RuntimeError("boom")
+
+        broker = InferenceBroker()
+        broker.register_adapter("tts", Boom())
+        h = broker.submit(endpoint_kind="tts", model_name="m", payload="x")
+        with pytest.raises(RuntimeError):
+            _drain(h)
+        broker.stop_and_join()
+
+    def test_fixed_window_batching(self):
+        broker = InferenceBroker(idle_poll_s=0.01)
+        adapter = BatchAdapter()
+        broker.register_adapter("tts", adapter)
+        # stall the worker briefly so requests pile up
+        gate = threading.Event()
+
+        class Gate(BaseModelExecutionAdapter):
+            def run_serial(self, request):
+                gate.wait(2.0)
+                request.emit_done()
+
+        broker.register_adapter("gate", Gate())
+        g = broker.submit(endpoint_kind="gate", model_name="m", payload=None)
+        handles = [broker.submit(endpoint_kind="tts", model_name="m",
+                                 payload=i) for i in range(3)]
+        gate.set()
+        results = [_drain(h) for h in handles]
+        assert results == [[0], [2], [4]]
+        assert max(adapter.batches) >= 2  # at least one real batch happened
+        broker.stop_and_join()
+
+    def test_cancel_before_run(self):
+        gate = threading.Event()
+
+        class Gate(BaseModelExecutionAdapter):
+            def run_serial(self, request):
+                gate.wait(2.0)
+                request.emit_data("ran")
+                request.emit_done()
+
+        broker = InferenceBroker(idle_poll_s=0.01)
+        broker.register_adapter("tts", Gate())
+        h1 = broker.submit(endpoint_kind="tts", model_name="m", payload=1)
+        h2 = broker.submit(endpoint_kind="tts", model_name="m", payload=2)
+        h2.cancel()
+        gate.set()
+        assert _drain(h1) == ["ran"]
+        # cancelled request never produces chunks; give the loop a beat
+        time.sleep(0.2)
+        assert h2.result_queue.empty()
+        broker.stop_and_join()
+
+
+# ---------------------------------------------------------------------------
+# REST endpoints with mock models
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _FakeResult:
+    audio: np.ndarray
+    sample_rate: int = 24000
+    is_final_chunk: bool = False
+
+
+class FakeTTS:
+    sample_rate = 24000
+
+    def generate(self, text, **kwargs):
+        t = np.linspace(0, 0.2, 4800)
+        yield _FakeResult(audio=(0.3 * np.sin(2 * np.pi * 440 * t)).astype(
+            np.float32))
+
+
+class FakeSTT:
+    def generate(self, audio, **kwargs):
+        from mlx_audio_tpu.stt.models.base import STTOutput
+
+        return STTOutput(text=f"heard {len(audio)} samples", language="en",
+                         segments=[{"start": 0.0, "end": 1.0,
+                                    "text": "heard"}])
+
+
+def _make_client_app():
+    from mlx_audio_tpu.server import AudioServer
+
+    server = AudioServer()
+    server.provider._models["fake-tts"] = FakeTTS()
+    server.provider._models["fake-stt"] = FakeSTT()
+
+    async def _noload(name, category=None):
+        m = server.provider._models.get(name)
+        if m is None:
+            raise FileNotFoundError(name)
+        return m
+
+    server.provider.load = _noload
+    return server
+
+
+def _run(coro):
+    return asyncio.run(coro)
+
+
+class TestEndpoints:
+    def test_health_and_models(self):
+        async def go():
+            from aiohttp.test_utils import TestClient, TestServer
+
+            server = _make_client_app()
+            async with TestClient(TestServer(server.app)) as client:
+                r = await client.get("/health")
+                assert (await r.json())["status"] == "ok"
+                r = await client.get("/v1/models")
+                ids = [m["id"] for m in (await r.json())["data"]]
+                assert "fake-tts" in ids and "fake-stt" in ids
+                r = await client.delete("/v1/models/fake-stt")
+                assert r.status == 200
+                r = await client.delete("/v1/models/fake-stt")
+                assert r.status == 404
+            server.broker.stop_and_join()
+
+        _run(go())
+
+    def test_tts_speech_wav(self):
+        async def go():
+            from aiohttp.test_utils import TestClient, TestServer
+
+            from mlx_audio_tpu import audio_io
+
+            server = _make_client_app()
+            async with TestClient(TestServer(server.app)) as client:
+                r = await client.post("/v1/audio/speech", json={
+                    "model": "fake-tts", "input": "hello"})
+                assert r.status == 200
+                body = await r.read()
+                audio, sr = audio_io.read(io.BytesIO(body), dtype="float32")
+                assert sr == 24000 and len(audio) == 4800
+                # error paths
+                r = await client.post("/v1/audio/speech", json={
+                    "model": "missing-model", "input": "x"})
+                assert r.status == 404
+                r = await client.post("/v1/audio/speech", json={
+                    "model": "fake-tts"})
+                assert r.status == 400
+                r = await client.post("/v1/audio/speech", json={
+                    "model": "fake-tts", "input": "x",
+                    "response_format": "mp3"})
+                assert r.status == 400
+            server.broker.stop_and_join()
+
+        _run(go())
+
+    def test_stt_transcription_formats(self):
+        async def go():
+            import aiohttp
+            from aiohttp.test_utils import TestClient, TestServer
+
+            from mlx_audio_tpu import audio_io
+
+            server = _make_client_app()
+            wav = io.BytesIO()
+            audio_io.write(wav, np.zeros(16000, np.float32), 16000)
+            async with TestClient(TestServer(server.app)) as client:
+                form = aiohttp.FormData()
+                form.add_field("file", wav.getvalue(), filename="a.wav")
+                form.add_field("model", "fake-stt")
+                r = await client.post("/v1/audio/transcriptions", data=form)
+                assert r.status == 200
+                assert "heard" in (await r.json())["text"]
+
+                form = aiohttp.FormData()
+                form.add_field("file", wav.getvalue(), filename="a.wav")
+                form.add_field("model", "fake-stt")
+                form.add_field("response_format", "verbose_json")
+                r = await client.post("/v1/audio/transcriptions", data=form)
+                data = await r.json()
+                assert data["language"] == "en" and data["segments"]
+
+                form = aiohttp.FormData()
+                form.add_field("file", wav.getvalue(), filename="a.wav")
+                form.add_field("model", "fake-stt")
+                form.add_field("response_format", "srt")
+                r = await client.post("/v1/audio/transcriptions", data=form)
+                assert "-->" in (await r.text())
+            server.broker.stop_and_join()
+
+        _run(go())
+
+    def test_separations_stub(self):
+        async def go():
+            from aiohttp.test_utils import TestClient, TestServer
+
+            server = _make_client_app()
+            async with TestClient(TestServer(server.app)) as client:
+                r = await client.post("/v1/audio/separations", json={})
+                assert r.status == 501
+            server.broker.stop_and_join()
+
+        _run(go())
+
+    def test_realtime_ws_manual_commit(self):
+        async def go():
+            import base64
+
+            from aiohttp.test_utils import TestClient, TestServer
+
+            server = _make_client_app()
+            async with TestClient(TestServer(server.app)) as client:
+                ws = await client.ws_connect("/v1/realtime?model=fake-stt")
+                created = json.loads((await ws.receive()).data)
+                assert created["type"] == "session.created"
+                # disable VAD -> manual commit mode
+                await ws.send_json({"type": "session.update", "session": {
+                    "turn_detection": None}})
+                updated = json.loads((await ws.receive()).data)
+                assert updated["type"] == "session.updated"
+                pcm = (np.zeros(8000)).astype("<i2").tobytes()
+                await ws.send_json({
+                    "type": "input_audio_buffer.append",
+                    "audio": base64.b64encode(pcm).decode()})
+                await ws.send_json({"type": "input_audio_buffer.commit"})
+                msg = json.loads((await ws.receive()).data)
+                assert msg["type"].endswith("transcription.completed")
+                assert "heard" in msg["transcript"]
+                await ws.send_json({"type": "session.close"})
+                await ws.close()
+            server.broker.stop_and_join()
+
+        _run(go())
+
+    def test_transcriptions_ws(self):
+        async def go():
+            from aiohttp.test_utils import TestClient, TestServer
+
+            server = _make_client_app()
+            async with TestClient(TestServer(server.app)) as client:
+                ws = await client.ws_connect(
+                    "/v1/audio/transcriptions/realtime?model=fake-stt")
+                pcm = np.zeros(4000, dtype="<i2").tobytes()
+                await ws.send_bytes(pcm)
+                await ws.send_json({"type": "commit"})
+                msg = json.loads((await ws.receive()).data)
+                assert msg["type"] == "transcription"
+                await ws.send_json({"type": "close"})
+                await ws.close()
+            server.broker.stop_and_join()
+
+        _run(go())
