@@ -1,0 +1,3 @@
+from .kitten_tts import Model, ModelConfig
+
+__all__ = ["Model", "ModelConfig"]

@@ -1,0 +1,410 @@
+"""Sesame CSM-1B: llama backbone + depth decoder over Mimi codes.
+
+Parity: /root/reference/mlx_audio/tts/models/sesame/sesame.py (SesameModel
+:301, generate_frame :361, token frame layout [32 audio + 1 text] w/ masks
+:406-426, Segment voice-clone context :428, generate :730).
+
+TPU redesign: generate_frame (backbone step + 31 unrolled depth-decoder
+sub-steps + sampling) compiles into a lax.scan chunk exactly like the
+qwen3_tts talker loop; the depth decoder's per-frame cache is a small
+fixed-shape buffer reset by construction each step. Audio decodes through
+the Mimi family (codec/models/mimi), streaming or offline.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import List, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ....base import BaseModelArgs
+from ....model import FunctionalModel
+from ....nn import apply_embedding, apply_linear, init_embedding, init_linear
+from ....ops.kvcache import KVCache
+from ..base import GenerationResult, format_duration, peak_memory_gb
+from ..llama import ModelConfig as LlamaConfig
+from ..llama.llama import init_llama, llama_forward
+
+Array = jax.Array
+
+MAX_CACHE_LEN = 2048
+CHUNK_FRAMES = 16  # ~1.28 s of audio per compiled chunk at 12.5 Hz
+
+
+@dataclass
+class Segment:
+    speaker: int
+    text: str
+    audio: Optional[np.ndarray] = None  # (T,) at 24 kHz
+
+
+_FLAVORS = {
+    "llama-1B": dict(hidden_size=2048, num_hidden_layers=16,
+                     intermediate_size=8192, num_attention_heads=32,
+                     num_key_value_heads=8, head_dim=64,
+                     rope_theta=500000.0),
+    "llama-100M": dict(hidden_size=1024, num_hidden_layers=4,
+                       intermediate_size=8192, num_attention_heads=8,
+                       num_key_value_heads=2, head_dim=128,
+                       rope_theta=500000.0),
+}
+
+
+@dataclass
+class ModelConfig(BaseModelArgs):
+    model_type: str = "sesame"
+    backbone_flavor: str = "llama-1B"
+    decoder_flavor: str = "llama-100M"
+    text_vocab_size: int = 128256
+    audio_vocab_size: int = 2051
+    audio_num_codebooks: int = 32
+    audio_eos_token_id: int = 0
+    codebook_eos_token_id: int = 0
+    sample_rate: int = 24000
+    backbone_config: Optional[dict] = None
+    depth_decoder_config: Optional[dict] = None
+    model_path: str = ""
+
+    def llama_configs(self):
+        bb = dict(_FLAVORS[self.backbone_flavor])
+        dec = dict(_FLAVORS[self.decoder_flavor])
+        if self.backbone_config:
+            bb.update({k: v for k, v in self.backbone_config.items()
+                       if k in LlamaConfig.__dataclass_fields__})
+        if self.depth_decoder_config:
+            dec.update({k: v for k, v in self.depth_decoder_config.items()
+                        if k in LlamaConfig.__dataclass_fields__})
+        bb["vocab_size"] = 1  # embeddings are external
+        dec["vocab_size"] = 1
+        return LlamaConfig(**bb), LlamaConfig(**dec)
+
+
+class Model(FunctionalModel):
+    """CSM voice-cloning TTS."""
+
+    def __init__(self, config: ModelConfig):
+        if isinstance(config, dict):
+            config = ModelConfig.from_dict(config)
+        super().__init__(config)
+        self.bb_cfg, self.dec_cfg = config.llama_configs()
+        self.tokenizer = None
+        self._mimi = None
+
+    @property
+    def sample_rate(self):
+        return self.config.sample_rate
+
+    # -- params --------------------------------------------------------------
+
+    def init_params(self, key):
+        c = self.config
+        ks = iter(jax.random.split(key, 8))
+        bb = init_llama(next(ks), self.bb_cfg, lm_head=False)["model"]
+        dec = init_llama(next(ks), self.dec_cfg, lm_head=False)["model"]
+        bb.pop("embed_tokens")
+        dec.pop("embed_tokens")
+        return {
+            "backbone": bb,
+            "decoder": dec,
+            "text_embeddings": init_embedding(next(ks), c.text_vocab_size,
+                                              self.bb_cfg.hidden_size),
+            "audio_embeddings": init_embedding(
+                next(ks), c.audio_vocab_size * c.audio_num_codebooks,
+                self.bb_cfg.hidden_size),
+            "projection": init_linear(next(ks), self.bb_cfg.hidden_size,
+                                      self.dec_cfg.hidden_size, bias=False),
+            "codebook0_head": init_linear(next(ks), self.bb_cfg.hidden_size,
+                                          c.audio_vocab_size, bias=False),
+            "audio_head": jax.random.normal(
+                next(ks), (c.audio_num_codebooks - 1,
+                           self.dec_cfg.hidden_size, c.audio_vocab_size),
+            ) * 0.02,
+        }
+
+    def sanitize(self, weights):
+        """Map ckpt keys backbone.layers.* -> backbone.model-less tree and
+        drop rotary caches."""
+        out = {}
+        for k, w in weights.items():
+            if "rotary_emb" in k:
+                continue
+            out[k] = w
+        return out
+
+    @classmethod
+    def post_load_hook(cls, model, model_path):
+        try:
+            from transformers import AutoTokenizer
+
+            model.tokenizer = AutoTokenizer.from_pretrained(str(model_path))
+        except Exception:
+            model.tokenizer = None
+        return model
+
+    # -- embeddings ----------------------------------------------------------
+
+    def _embed_frame_tokens(self, params, tokens, tokens_mask):
+        """tokens (B, T, 33) int; mask (B, T, 33) -> summed embeds (B, T, D).
+
+        Layout: [:, :, :32] audio codes per codebook, [:, :, 32] text token
+        (reference _embed_tokens :409-426)."""
+        c = self.config
+        text = apply_embedding(params["text_embeddings"], tokens[:, :, -1])
+        offsets = (jnp.arange(c.audio_num_codebooks)
+                   * c.audio_vocab_size)[None, None, :]
+        audio = apply_embedding(params["audio_embeddings"],
+                                tokens[:, :, :-1] + offsets)
+        embeds = jnp.concatenate([audio, text[:, :, None, :]], axis=2)
+        return jnp.sum(embeds * tokens_mask[..., None], axis=2)
+
+    # -- compiled frame machinery --------------------------------------------
+
+    def _decode_frame(self, params, last_h, c0, sampler_key, temperature,
+                      top_k):
+        """Depth-decode codebooks 1..N-1 given backbone hidden + codebook0."""
+        from ....ops.sampling import top_k_top_p_filter
+
+        c = self.config
+        b = last_h.shape[0]
+
+        def sample(k, lg):
+            lg = lg.astype(jnp.float32)
+            greedy = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+            lg = top_k_top_p_filter(lg / jnp.maximum(temperature, 1e-6),
+                                    top_k=top_k)
+            drawn = jax.random.categorical(k, lg, axis=-1).astype(jnp.int32)
+            return jnp.where(temperature <= 0.0, greedy, drawn)
+
+        caches = [KVCache.init(b, c.audio_num_codebooks + 2,
+                               self.dec_cfg.num_key_value_heads,
+                               self.dec_cfg.resolved_head_dim, last_h.dtype)
+                  for _ in range(self.dec_cfg.num_hidden_layers)]
+        c0_embed = apply_embedding(params["audio_embeddings"], c0[:, None])
+        curr_h = jnp.concatenate([last_h[:, None], c0_embed], axis=1)
+        samples = [c0]
+        offset = 0
+        key = sampler_key
+        for i in range(1, c.audio_num_codebooks):
+            proj = apply_linear(params["projection"], curr_h)
+            dec_h, caches = llama_forward(
+                {"model": params["decoder"]}, self.dec_cfg, proj,
+                caches=caches, offset=jnp.int32(offset))
+            offset += curr_h.shape[1]
+            logits = jnp.einsum("bd,dv->bv", dec_h[:, -1],
+                                params["audio_head"][i - 1])
+            key, sub = jax.random.split(key)
+            ci = sample(sub, logits)
+            samples.append(ci)
+            curr_h = apply_embedding(
+                params["audio_embeddings"],
+                (ci + i * c.audio_vocab_size)[:, None])
+        return jnp.stack(samples, axis=-1), key  # (B, 32)
+
+    def _make_chunk_stepper(self, chunk: int, temperature: float, top_k: int):
+        c = self.config
+        from ....ops.sampling import top_k_top_p_filter
+
+        def sample(k, lg):
+            lg = lg.astype(jnp.float32)
+            greedy = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+            lg2 = top_k_top_p_filter(lg / jnp.maximum(temperature, 1e-6),
+                                     top_k=top_k)
+            drawn = jax.random.categorical(k, lg2, axis=-1).astype(jnp.int32)
+            return jnp.where(temperature <= 0.0, greedy, drawn)
+
+        def chunk_step(params, carry):
+            def step(cr, _):
+                (caches, embed, pos, finished, key) = cr
+                h, caches = llama_forward(
+                    {"model": params["backbone"]}, self.bb_cfg, embed,
+                    caches=caches, offset=pos)
+                last_h = h[:, -1]
+                logits0 = apply_linear(params["codebook0_head"], last_h)
+                key, k0 = jax.random.split(key)
+                c0 = sample(k0, logits0)
+                frame, key = self._decode_frame(params, last_h, c0, key,
+                                                temperature, top_k)
+                now_fin = finished | (c0 == c.codebook_eos_token_id)
+                # next input: the generated audio frame (text slot = 0/masked)
+                b = frame.shape[0]
+                toks = jnp.concatenate(
+                    [frame, jnp.zeros((b, 1), jnp.int32)], axis=-1)[:, None]
+                mask = jnp.concatenate(
+                    [jnp.ones((b, 1, c.audio_num_codebooks), bool),
+                     jnp.zeros((b, 1, 1), bool)], axis=-1)
+                embed_next = self._embed_frame_tokens(params, toks, mask)
+                return (caches, embed_next, pos + 1, now_fin, key), \
+                    (frame, now_fin)
+
+            carry2, (frames, fins) = jax.lax.scan(step, carry, None,
+                                                  length=chunk)
+            return carry2, frames, fins
+
+        return jax.jit(chunk_step)
+
+    # -- prompt assembly -----------------------------------------------------
+
+    def _tokenize_text_segment(self, text: str, speaker: int):
+        if self.tokenizer is None:
+            raise ValueError("No tokenizer; pass text_ids instead.")
+        ids = self.tokenizer.encode(f"[{speaker}]{text}")
+        return np.asarray(ids)
+
+    def build_prompt(self, text_ids: np.ndarray,
+                     context_frames: Optional[np.ndarray] = None):
+        """-> (tokens (1, T, 33) int32, mask (1, T, 33) bool).
+
+        Text tokens occupy the text slot; optional voice-clone context frames
+        (T_ctx, 32) occupy the audio slots (reference :502-575)."""
+        c = self.config
+        rows, masks = [], []
+        if context_frames is not None:
+            for fr in np.asarray(context_frames):
+                row = np.zeros(c.audio_num_codebooks + 1, np.int32)
+                row[:c.audio_num_codebooks] = fr
+                m = np.zeros(c.audio_num_codebooks + 1, bool)
+                m[:c.audio_num_codebooks] = True
+                rows.append(row)
+                masks.append(m)
+        for tid in np.asarray(text_ids).reshape(-1):
+            row = np.zeros(c.audio_num_codebooks + 1, np.int32)
+            row[-1] = tid
+            m = np.zeros(c.audio_num_codebooks + 1, bool)
+            m[-1] = True
+            rows.append(row)
+            masks.append(m)
+        return (np.asarray(rows, np.int32)[None],
+                np.asarray(masks, bool)[None])
+
+    # -- generation ----------------------------------------------------------
+
+    def generate(
+        self,
+        text: Optional[str] = None,
+        *,
+        text_ids: Optional[np.ndarray] = None,
+        speaker: int = 0,
+        context: Optional[List[Segment]] = None,
+        context_frames: Optional[np.ndarray] = None,
+        temperature: float = 0.9,
+        top_k: int = 50,
+        max_audio_length_ms: float = 30000,
+        seed: int = 0,
+        mimi=None,
+        **kwargs,
+    ):
+        """Yield one GenerationResult with the synthesized audio.
+
+        `mimi`: a bound codec/models/mimi Mimi model for audio decode; when
+        absent, raw code frames are returned in the result's prompt dict.
+        """
+        t0 = time.time()
+        if text_ids is None:
+            text_ids = self._tokenize_text_segment(text, speaker)
+        if context and context_frames is None and self._mimi is not None:
+            enc = [np.asarray(self._mimi.encode(s.audio)[0].T)
+                   for s in context if s.audio is not None]
+            if enc:
+                context_frames = np.concatenate(enc, axis=0)
+        tokens, mask = self.build_prompt(text_ids, context_frames)
+        plen = tokens.shape[1]
+        pb = 1 << max(4, (plen - 1).bit_length())
+        tokens = np.pad(tokens, ((0, 0), (0, pb - plen), (0, 0)))
+        mask = np.pad(mask, ((0, 0), (0, pb - plen), (0, 0)))
+
+        prefill = self._jit_cache.get(("prefill", pb))
+        if prefill is None:
+            prefill = jax.jit(self._prefill)
+            self._jit_cache[("prefill", pb)] = prefill
+        carry, first_frame, first_fin = prefill(
+            self.params, jnp.asarray(tokens), jnp.asarray(mask),
+            jnp.int32(plen), jax.random.PRNGKey(seed),
+            jnp.float32(temperature), jnp.int32(top_k))
+
+        max_frames = int(max_audio_length_ms / 80)
+        stepper = self._jit_cache.get(("chunk", CHUNK_FRAMES, temperature,
+                                       top_k))
+        if stepper is None:
+            stepper = self._make_chunk_stepper(CHUNK_FRAMES, temperature,
+                                               top_k)
+            self._jit_cache[("chunk", CHUNK_FRAMES, temperature, top_k)] = \
+                stepper
+        frames_out = []
+        done = bool(np.asarray(first_fin).any())
+        n = 0
+        if not done:
+            frames_out.append(np.asarray(first_frame))
+            n = 1
+        while not done and n < max_frames:
+            carry, frames, fins = stepper(self.params, carry)
+            fr = np.asarray(frames)[:, 0]
+            fi = np.asarray(fins)[:, 0]
+            k = int(np.argmax(fi)) if fi.any() else len(fr)
+            frames_out.append(fr[:k])
+            n += k
+            done = bool(fi.any())
+        codes = (np.concatenate(frames_out, axis=0)
+                 if frames_out else np.zeros((0, 32), np.int32))
+
+        mimi = mimi or self._mimi
+        if mimi is not None and len(codes):
+            audio = np.asarray(mimi.decode(
+                jnp.asarray(codes.T[None])))[0, 0]
+        else:
+            audio = np.zeros((len(codes) * 1920,), np.float32)
+        seg_time = time.time() - t0
+        dur = len(audio) / self.sample_rate
+        yield GenerationResult(
+            audio=audio, samples=len(audio), sample_rate=self.sample_rate,
+            segment_idx=0, token_count=len(codes),
+            audio_duration=format_duration(dur),
+            real_time_factor=round(seg_time / dur, 3) if dur else 0.0,
+            prompt={"tokens": int(plen), "tokens-per-sec":
+                    round(plen / seg_time, 2) if seg_time else 0,
+                    "codes": codes},
+            audio_samples={"samples": len(audio), "samples-per-sec":
+                           round(len(audio) / seg_time, 2) if seg_time else 0},
+            processing_time_seconds=seg_time,
+            peak_memory_usage=peak_memory_gb(),
+            is_final_chunk=True,
+        )
+
+    def _prefill(self, params, tokens, mask, plen, key, temperature, top_k):
+        b = tokens.shape[0]
+        caches = [KVCache.init(b, MAX_CACHE_LEN,
+                               self.bb_cfg.num_key_value_heads,
+                               self.bb_cfg.resolved_head_dim, jnp.float32)
+                  for _ in range(self.bb_cfg.num_hidden_layers)]
+        embeds = self._embed_frame_tokens(params, tokens, mask)
+        pb = tokens.shape[1]
+        pad_mask = jnp.broadcast_to(
+            jnp.where(jnp.arange(MAX_CACHE_LEN) < plen, 0.0, -jnp.inf)[None],
+            (b, MAX_CACHE_LEN))
+        h, caches = llama_forward({"model": params["backbone"]}, self.bb_cfg,
+                                  embeds, caches=caches, offset=0,
+                                  mask=pad_mask)
+        last_h = h[jnp.arange(b), plen - 1]
+        logits0 = apply_linear(params["codebook0_head"], last_h)
+        from ....ops.sampling import top_k_top_p_filter
+
+        greedy = jnp.argmax(logits0, axis=-1).astype(jnp.int32)
+        lg = top_k_top_p_filter(
+            logits0.astype(jnp.float32) / jnp.maximum(temperature, 1e-6),
+            top_k=50)
+        key, k0 = jax.random.split(key)
+        drawn = jax.random.categorical(k0, lg, axis=-1).astype(jnp.int32)
+        c0 = jnp.where(temperature <= 0.0, greedy, drawn)
+        frame, key = self._decode_frame(params, last_h, c0, key, temperature,
+                                        50)
+        toks = jnp.concatenate([frame, jnp.zeros((b, 1), jnp.int32)],
+                               axis=-1)[:, None]
+        m = jnp.concatenate(
+            [jnp.ones((b, 1, self.config.audio_num_codebooks), bool),
+             jnp.zeros((b, 1, 1), bool)], axis=-1)
+        embed_next = self._embed_frame_tokens(params, toks, m)
+        finished = frame[:, 0] == self.config.codebook_eos_token_id
+        return (caches, embed_next, plen, finished, key), frame, finished
