@@ -41,12 +41,12 @@ def quantize_weight(
     scales = jnp.maximum((wmax - wmin) / n_levels, 1e-8)
     biases = wmin
     q = jnp.clip(jnp.round((g - biases[..., None]) / scales[..., None]), 0, n_levels)
+    # group size is implied by shapes: in_f // scales.shape[1]; no static
+    # markers are stored (jit would treat them as traced leaves)
     return {
         "w_q": q.reshape(out_f, in_f).astype(jnp.uint8),
         "scales": scales.astype(jnp.float32),
         "biases": biases.astype(jnp.float32),
-        "_bits": bits,
-        "_group_size": group_size,
     }
 
 
@@ -54,7 +54,7 @@ def dequantize_weight(params: dict, dtype=jnp.float32) -> Array:
     """Reconstruct the dense weight (out, in)."""
     q = params["w_q"].astype(jnp.float32)
     out_f, in_f = q.shape
-    gs = int(params["_group_size"])
+    gs = in_f // params["scales"].shape[1]
     qg = q.reshape(out_f, in_f // gs, gs)
     w = qg * params["scales"][..., None] + params["biases"][..., None]
     return w.reshape(out_f, in_f).astype(dtype)
@@ -66,9 +66,9 @@ def qmatmul(params: dict, x: Array) -> Array:
     Written as (x * per-group) contractions so XLA fuses the dequant into the
     matmul instead of materializing the full bf16 weight in HBM.
     """
-    gs = int(params["_group_size"])
     out_f, in_f = params["w_q"].shape
-    ng = in_f // gs
+    ng = params["scales"].shape[1]
+    gs = in_f // ng
     xg = x.reshape(x.shape[:-1] + (ng, gs))
     qg = params["w_q"].reshape(out_f, ng, gs).astype(x.dtype)
     scales = params["scales"].astype(x.dtype)  # (out, ng)
@@ -102,7 +102,10 @@ def maybe_quantize_tree(
         if "weight" in params and isinstance(params["weight"], jax.Array) \
                 and params["weight"].ndim == 2 and "w_q" not in params:
             w = params["weight"]
-            ok = w.shape[1] % group_size == 0
+            leaf = path.rsplit(".", 1)[-1].lower()
+            is_embedding = any(tag in leaf for tag in
+                               ("embed", "codebook", "positional"))
+            ok = w.shape[1] % group_size == 0 and not is_embedding
             if ok and (predicate is None or predicate(path, w)):
                 q = quantize_weight(w, group_size, bits)
                 rest = {k: v for k, v in params.items() if k != "weight"}

@@ -312,12 +312,14 @@ def base_load_model(
     model = module.Model(model_config)
 
     weights = load_weights(model_path, dtype=dtype)
-    if hasattr(model, "sanitize"):
+    pre_converted = config.get("converted_by") == "mlx_audio_tpu.convert"
+    if hasattr(model, "sanitize") and not pre_converted:
         weights = model.sanitize(weights)
 
     params = unflatten(weights)
-    quant_pred = getattr(model, "model_quant_predicate", None)
-    params = apply_quantization(params, config, weights, quant_pred)
+    if not pre_converted:
+        quant_pred = getattr(model, "model_quant_predicate", None)
+        params = apply_quantization(params, config, weights, quant_pred)
 
     model.bind(params, strict=strict)
 
