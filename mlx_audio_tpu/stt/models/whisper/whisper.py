@@ -262,6 +262,47 @@ def decoder_forward(
     return logits, new_caches
 
 
+def decoder_forward_with_cross_qk(params: dict, dims: ModelDimensions,
+                                  tokens: Array, cross_kvs):
+    """Cache-less decoder forward that also returns per-layer cross-attention
+    scores (B, heads, T, S) for DTW word-timing (reference whisper.py
+    forward_with_cross_qk)."""
+    p = params["decoder"]
+    b, t = tokens.shape
+    x = apply_embedding(p["token_embedding"], tokens)
+    x = x + p["positional_embedding"][:t]
+    qks = []
+    n_head = dims.n_text_head
+    hd = dims.n_text_state // n_head
+    causal = jnp.where(jnp.tril(jnp.ones((t, t), bool)), 0.0, -jnp.inf)
+    for i in range(dims.n_text_layer):
+        blk = p["blocks"][str(i)]
+        h = apply_layer_norm(blk["attn_ln"], x)
+        attn, _ = _mha(blk["attn"], n_head, h, mask=causal)
+        x = x + attn
+        h = apply_layer_norm(blk["cross_attn_ln"], x)
+        # collect scaled pre-softmax scores
+        q = apply_linear(blk["cross_attn"]["query"], h)
+        k, v = cross_kvs[i]
+        s = k.shape[1]
+        qh = q.reshape(b, t, n_head, hd)
+        kh = k.reshape(b, s, n_head, hd)
+        vh = v.reshape(b, s, n_head, hd)
+        scale = hd ** -0.25
+        scores = jnp.einsum("bthd,bshd->bhts", qh * scale, kh * scale)
+        qks.append(scores.astype(jnp.float32))
+        w = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhts,bshd->bthd", w, vh).reshape(b, t, -1)
+        x = x + apply_linear(blk["cross_attn"]["out"], out)
+        h = apply_layer_norm(blk["mlp_ln"], x)
+        x = x + apply_linear(blk["mlp2"], jax.nn.gelu(
+            apply_linear(blk["mlp1"], h), approximate=False))
+    x = apply_layer_norm(p["ln"], x)
+    logits = jnp.einsum("btd,vd->btv", x,
+                        p["token_embedding"]["weight"].astype(x.dtype))
+    return logits, qks
+
+
 # ---------------------------------------------------------------------------
 # Model
 # ---------------------------------------------------------------------------
@@ -342,6 +383,19 @@ class Model(FunctionalModel):
                     w = jnp.transpose(w, (1, 2, 0))
             out[k] = w
         return out
+
+    @property
+    def alignment_heads(self):
+        """(layer, head) pairs used for word timing; defaults to every head
+        of the last half of decoder layers (reference whisper.py:512-517)."""
+        if getattr(self, "_alignment_heads", None) is not None:
+            return self._alignment_heads
+        return [(l, h) for l in range(self.dims.n_text_layer // 2,
+                                      self.dims.n_text_layer)
+                for h in range(self.dims.n_text_head)]
+
+    def set_alignment_heads(self, pairs):
+        self._alignment_heads = list(pairs)
 
     @property
     def is_multilingual(self) -> bool:
@@ -494,6 +548,7 @@ class Model(FunctionalModel):
 
             prompt_tokens_count += len(prompt) + len(tokenizer.sot_sequence)
             gen_tokens_count += len(result.tokens)
+            window_seg_start = len(all_segments)
 
             if (no_speech_threshold is not None
                     and result.no_speech_prob > no_speech_threshold
@@ -553,6 +608,15 @@ class Model(FunctionalModel):
                 all_segments.append(new_segment(
                     time_offset, time_offset + duration, tokens, result))
                 seek += segment_size
+
+            if word_timestamps:
+                from .timing import add_word_timestamps
+
+                add_word_timestamps(
+                    segments=all_segments[window_seg_start:],
+                    model=self, tokenizer=tokenizer,
+                    mel_segment=mel_segment, num_frames=segment_size,
+                    time_offset=time_offset)
 
             all_tokens.extend([int(t) for t in tokens])
             if not condition_on_previous_text or result.temperature > 0.5:
