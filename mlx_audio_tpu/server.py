@@ -101,6 +101,30 @@ class TTSExecutionAdapter(BaseModelExecutionAdapter):
     def __init__(self, provider: ModelProvider):
         self.provider = provider
 
+    # -- continuous batching routing (reference server.py:565-664) ----------
+
+    def supports_continuous_batch(self, request) -> bool:
+        model = self.provider.get_cached(request.model_name)
+        checker = getattr(model, "supports_tts_continuous_batch", None)
+        return bool(checker and checker())
+
+    def continuous_batch_key(self, request) -> Any:
+        return None
+
+    def create_continuous_batch_session(self, request):
+        from .tts.continuous import TTSBatchOptions
+
+        model = self.provider.get_cached(request.model_name)
+        kw = request.normalized_kwargs
+        opts = TTSBatchOptions(
+            max_batch_size=int(os.environ.get(
+                "MLX_AUDIO_TTS_MAX_BATCH_SIZE", "4")),
+            temperature=float(kw.get("temperature", 0.9)),
+            top_k=int(kw.get("top_k", 50)),
+            max_tokens=int(kw.get("max_tokens", 1200)),
+            streaming_interval=float(kw.get("streaming_interval", 2.0)))
+        return model.create_tts_batch_session(opts)
+
     def run_serial(self, request: InferenceRequest) -> None:
         import inspect
 

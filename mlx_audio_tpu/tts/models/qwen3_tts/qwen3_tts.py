@@ -158,6 +158,17 @@ class Model(FunctionalModel):
     def get_supported_speakers(self) -> List[str]:
         return sorted((self.tcfg.spk_id or {}).keys())
 
+    # -- continuous batching (server path) ----------------------------------
+
+    def supports_tts_continuous_batch(self, **kwargs) -> bool:
+        return True
+
+    def create_tts_batch_session(self, options=None):
+        from ...continuous import TTSBatchOptions
+        from .continuous_batching import Qwen3TTSBatchSession
+
+        return Qwen3TTSBatchSession(self, options or TTSBatchOptions())
+
     def get_supported_languages(self) -> List[str]:
         return sorted((self.tcfg.codec_language_id or {}).keys())
 
@@ -453,14 +464,15 @@ class Model(FunctionalModel):
             decoded = n_valid
             return np.asarray(audio[0])
 
-        steppers = {}
         while not finished and total_tokens < max_tokens:
             chunk = chunk_schedule[0] if total_tokens <= 1 else chunk_schedule[-1]
-            st = steppers.get(chunk)
+            st_key = ("stepper", chunk, temperature, top_k, top_p,
+                      repetition_penalty, tb)
+            st = self._jit_cache.get(st_key)
             if st is None:
                 st = self._make_chunk_stepper(
                     chunk, temperature, top_k, top_p, repetition_penalty, tb)
-                steppers[chunk] = st
+                self._jit_cache[st_key] = st
             carry, codes_seq, fin_seq = st(self.params, carry, trailing,
                                            jnp.int32(tl), pad_embed)
             codes_np = np.asarray(codes_seq)[:, 0]  # (chunk, G)

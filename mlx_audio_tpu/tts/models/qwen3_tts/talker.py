@@ -164,11 +164,17 @@ def talker_forward(
     caches: Optional[List[KVCache]],
     offset,
     lengths_mask: Optional[Array] = None,
+    positions: Optional[Array] = None,
 ) -> Tuple[Array, Array, Optional[List[KVCache]]]:
-    """-> (codec_logits (B, T, V), hidden (B, T, D), new_caches)."""
+    """-> (codec_logits (B, T, V), hidden (B, T, D), new_caches).
+
+    `offset` is the cache write column; `positions` (B, T) overrides the RoPE
+    positions when rows live at different logical times (continuous batching).
+    """
     m = p["model"]
     b, t, _ = inputs_embeds.shape
-    positions = offset + jnp.arange(t)[None, :]
+    if positions is None:
+        positions = offset + jnp.arange(t)[None, :]
     inv_freq = rope_freqs(cfg.head_dim, cfg.rope_theta)
     x = inputs_embeds
     new_caches = [] if caches is not None else None

@@ -1,0 +1,95 @@
+"""Continuous-batching session tests (tiny qwen3 config, broker requests)."""
+
+import numpy as np
+import pytest
+
+from mlx_audio_tpu.server_inference import InferenceRequest
+from mlx_audio_tpu.tts.continuous import TTSBatchOptions
+
+
+@pytest.fixture(scope="module")
+def model():
+    from mlx_audio_tpu.tts.models.qwen3_tts import Model, ModelConfig
+
+    cfg = ModelConfig(
+        talker_config=dict(
+            vocab_size=300, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            head_dim=8, num_code_groups=4, text_hidden_size=48,
+            text_vocab_size=500, codec_eos_token_id=280, codec_think_id=284,
+            codec_nothink_id=285, codec_think_bos_id=286,
+            codec_think_eos_id=287, codec_pad_id=278, codec_bos_id=279,
+            code_predictor_config=dict(
+                vocab_size=256, hidden_size=32, intermediate_size=64,
+                num_hidden_layers=2, num_attention_heads=4,
+                num_key_value_heads=2, head_dim=8, num_code_groups=4)),
+        tokenizer_config=dict(decoder_config=dict(
+            latent_dim=32, codebook_dim=16, codebook_size=256, decoder_dim=64,
+            hidden_size=24, intermediate_size=48, head_dim=8,
+            num_attention_heads=3, num_hidden_layers=2, num_key_value_heads=3,
+            num_quantizers=4, num_semantic_quantizers=1, sliding_window=16,
+            upsample_rates=[4, 3], upsampling_ratios=[2, 2])),
+    )
+    return Model(cfg).init_and_bind()
+
+
+def _req(lo, hi):
+    return InferenceRequest(
+        endpoint_kind="tts", model_name="m", payload=None,
+        normalized_kwargs={"text_ids": np.arange(lo, hi)[None]})
+
+
+def _drain(req):
+    kinds, payloads = [], []
+    while not req.result_queue.empty():
+        c = req.result_queue.get()
+        kinds.append(c.kind)
+        payloads.append(c.payload)
+    return kinds, payloads
+
+
+class TestContinuousSession:
+    def test_two_requests_with_midstream_admission(self, model):
+        sess = model.create_tts_batch_session(
+            TTSBatchOptions(max_batch_size=2, max_tokens=16,
+                            streaming_interval=0.4))
+        r1 = _req(10, 25)
+        sess.submit(r1)
+        assert not sess.idle
+        assert sess.available_slots == 1
+        for _ in range(5):
+            sess.step()
+        r2 = _req(30, 42)
+        sess.submit(r2)
+        assert sess.available_slots == 0
+        for _ in range(40):
+            sess.step()
+            if sess.idle:
+                break
+        assert sess.idle
+        for r in (r1, r2):
+            kinds, payloads = _drain(r)
+            assert kinds[-1] == "done"
+            assert "data" in kinds
+            audio = np.concatenate(
+                [p["audio"] for p in payloads if p and "audio" in p])
+            assert len(audio) % model.total_upsample == 0
+            assert np.isfinite(audio).all()
+
+    def test_cancel_frees_slot(self, model):
+        sess = model.create_tts_batch_session(
+            TTSBatchOptions(max_batch_size=2, max_tokens=16))
+        r = _req(5, 15)
+        sess.submit(r)
+        sess.cancel(r.request_id)
+        assert sess.idle
+
+    def test_fail_emits_errors(self, model):
+        sess = model.create_tts_batch_session(
+            TTSBatchOptions(max_batch_size=2, max_tokens=16))
+        r = _req(5, 15)
+        sess.submit(r)
+        sess.fail(RuntimeError("stopping"))
+        kinds, _ = _drain(r)
+        assert "error" in kinds and kinds[-1] == "done"
+        assert sess.idle
