@@ -504,6 +504,10 @@ class AudioServer:
         preroll = np.zeros(0, np.float32)
         feeding = svad is None  # no VAD -> manual commit mode
         item_id = 0
+        # prefer true streaming sessions when the model supports the
+        # feed/step/close protocol (reference server.py:1611)
+        make_session = getattr(model, "create_streaming_session", None)
+        session = make_session() if callable(make_session) else None
 
         await ws.send_json({
             "type": "session.created",
@@ -512,15 +516,45 @@ class AudioServer:
                         if vad_config else None},
         })
 
+        async def drain_session_deltas():
+            nonlocal session
+            if session is None:
+                return
+            events = await asyncio.to_thread(session.step)
+            for ev in events:
+                if ev.kind == "delta":
+                    await ws.send_json({
+                        "type": "conversation.item."
+                                "input_audio_transcription.delta",
+                        "delta": ev.text,
+                    })
+
         async def finalize_turn():
-            nonlocal audio_buf, item_id
+            nonlocal audio_buf, item_id, session
+            item_id += 1
+            if session is not None:
+                session.close()
+                final_text = session.text
+                while not session.done:
+                    events = await asyncio.to_thread(session.step)
+                    for ev in events:
+                        if ev.kind == "final":
+                            final_text = ev.text
+                await ws.send_json({
+                    "type": "conversation.item."
+                            "input_audio_transcription.completed",
+                    "item_id": f"item_{item_id}",
+                    "transcript": final_text.strip(),
+                })
+                session = make_session() if callable(make_session) else None
+                audio_buf = np.zeros(0, np.float32)
+                return
             if model is None or len(audio_buf) < 1600:
                 audio_buf = np.zeros(0, np.float32)
                 return
             audio = audio_buf
             audio_buf = np.zeros(0, np.float32)
             out = await asyncio.to_thread(model.generate, audio)
-            item_id += 1
             await ws.send_json({
                 "type":
                     "conversation.item.input_audio_transcription.completed",
@@ -562,7 +596,11 @@ class AudioServer:
                     for ev in events:
                         if ev.kind == TurnEventKind.SPEECH_STARTED:
                             feeding = True
-                            audio_buf = np.concatenate([audio_buf, preroll])
+                            if session is not None and len(preroll):
+                                session.feed(preroll)
+                            else:
+                                audio_buf = np.concatenate([audio_buf,
+                                                            preroll])
                             preroll = np.zeros(0, np.float32)
                             await ws.send_json({
                                 "type": "input_audio_buffer.speech_started",
@@ -574,13 +612,21 @@ class AudioServer:
                             await finalize_turn()
                             feeding = False
                     if feeding:
-                        audio_buf = np.concatenate([audio_buf, pcm])
+                        if session is not None:
+                            session.feed(pcm)
+                            await drain_session_deltas()
+                        else:
+                            audio_buf = np.concatenate([audio_buf, pcm])
                     else:
                         # keep pre-roll so speech onsets aren't clipped
                         keep = int(VAD_SAMPLE_RATE * 0.5)
                         preroll = np.concatenate([preroll, pcm])[-keep:]
                 else:
-                    audio_buf = np.concatenate([audio_buf, pcm])
+                    if session is not None:
+                        session.feed(pcm)
+                        await drain_session_deltas()
+                    else:
+                        audio_buf = np.concatenate([audio_buf, pcm])
             elif etype == "input_audio_buffer.commit":
                 await finalize_turn()
             elif etype == "input_audio_buffer.clear":

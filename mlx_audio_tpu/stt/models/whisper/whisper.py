@@ -645,3 +645,32 @@ class Model(FunctionalModel):
         seg = pad_or_trim(mel, self.window_frames)[None]
         lang, _ = self.detect_language(seg)
         return lang
+
+    # -- streaming (server /v1/realtime session protocol) -------------------
+
+    def create_streaming_session(self, language: str = "en", **kwargs):
+        from .streaming import WhisperStreamingSession
+
+        return WhisperStreamingSession(self, language=language, **kwargs)
+
+    def generate_streaming(self, audio, chunk_duration: float = 1.0,
+                           language: Optional[str] = None, **kwargs):
+        """Offline-driven streaming: feed fixed chunks through a streaming
+        session and yield STTOutput deltas (reference whisper.py:1304)."""
+        from ...utils import load_audio
+
+        if isinstance(audio, str):
+            audio = np.asarray(load_audio(audio, sample_rate=SAMPLE_RATE))
+        audio = np.asarray(audio, np.float32)
+        session = self.create_streaming_session(language=language or "en")
+        chunk = int(chunk_duration * SAMPLE_RATE)
+        for off in range(0, len(audio), chunk):
+            session.feed(audio[off: off + chunk])
+            for ev in session.step():
+                if ev.kind == "delta":
+                    yield STTOutput(text=ev.text, language=session.language)
+        session.close()
+        while not session.done:
+            for ev in session.step():
+                if ev.kind == "final":
+                    yield STTOutput(text=ev.text, language=session.language)
