@@ -246,6 +246,33 @@ def apply_conv_transpose1d(
     return y[0] if squeeze else y
 
 
+def init_conv2d(key, in_ch: int, out_ch: int, kernel, bias: bool = True,
+                groups: int = 1, dtype=jnp.float32) -> dict:
+    kh, kw = (kernel, kernel) if isinstance(kernel, int) else kernel
+    scale = 1.0 / ((in_ch // groups * kh * kw) ** 0.5)
+    p = {"weight": jax.random.uniform(
+        key, (kh, kw, in_ch // groups, out_ch), dtype, -scale, scale)}
+    if bias:
+        p["bias"] = jnp.zeros((out_ch,), dtype)
+    return p
+
+
+def apply_conv2d(params: dict, x: Array, stride=1, padding=0,
+                 groups: int = 1) -> Array:
+    """2-D conv on (N, H, W, C_in) with HWIO kernel -> (N, H', W', C_out)."""
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    if isinstance(padding, int):
+        padding = [(padding, padding), (padding, padding)]
+    y = jax.lax.conv_general_dilated(
+        x, params["weight"].astype(x.dtype), window_strides=stride,
+        padding=padding, dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups)
+    if "bias" in params:
+        y = y + params["bias"].astype(x.dtype)
+    return y
+
+
 def causal_conv1d(params: dict, x: Array, stride: int = 1, dilation: int = 1,
                   groups: int = 1) -> Array:
     """Causal conv: left-pad (kernel-1)*dilation so output depends on past only."""

@@ -1,0 +1,107 @@
+"""Pallas TPU kernel: fused dequantize + matmul for affine-quantized weights.
+
+AR decode is HBM-bandwidth-bound: streaming int8 codes (1 byte/weight)
+instead of bf16 (2 bytes) halves the dominant traffic, but only if the
+dequantize fuses into the matmul so the dense weight never materializes in
+HBM. XLA fuses the einsum formulation in ops/quant.py reasonably well; this
+kernel makes the fusion explicit — each grid step DMAs one uint8 weight tile
+into VMEM, dequantizes on the VPU, and feeds the MXU directly.
+
+Functional contract matches ops.quant.qmatmul:
+    y = x @ (scales * q + biases per group).T [+ bias]
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def _qmm_kernel(x_ref, wq_ref, s_ref, b_ref, o_ref, *, group_size: int):
+    from jax.experimental.pallas import tpu as pltpu
+
+    # u8 -> f32 must hop through i32 on TPU Mosaic
+    q = wq_ref[:].astype(jnp.int32).astype(jnp.float32)   # (TILE_OUT, IN)
+    scales = pltpu.repeat(s_ref[:], group_size, axis=1)   # (TILE_OUT, IN)
+    biases = pltpu.repeat(b_ref[:], group_size, axis=1)
+    w = q * scales + biases
+    o_ref[:] = jax.lax.dot_general(
+        x_ref[:].astype(jnp.float32), w,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("tile_out",))
+def qmm_pallas(params: dict, x: Array, tile_out: int = 256) -> Array:
+    """x (B, in) @ dequant(w_q (out, in)).T -> (B, out).
+
+    Requires out % tile_out == 0 and the standard (8/16, 128) tiling-friendly
+    shapes; callers fall back to ops.quant.qmatmul otherwise.
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    wq = params["w_q"]
+    scales = params["scales"].astype(jnp.float32)
+    biases = params["biases"].astype(jnp.float32)
+    out_f, in_f = wq.shape
+    ng = scales.shape[1]
+    gs = in_f // ng
+    b = x.shape[0]
+    grid = (out_f // tile_out,)
+
+    y = pl.pallas_call(
+        functools.partial(_qmm_kernel, group_size=gs),
+        out_shape=jax.ShapeDtypeStruct((b, out_f), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((b, in_f), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_out, in_f), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_out, ng), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_out, ng), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((b, tile_out), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * in_f * out_f + 2 * in_f * out_f,
+            bytes_accessed=out_f * in_f + out_f * ng * 8 + b * in_f * 4
+            + b * out_f * 4,
+            transcendentals=0,
+        ),
+    )(x, wq, scales, biases)
+    if "bias" in params:
+        y = y + params["bias"].astype(y.dtype)
+    return y.astype(x.dtype)
+
+
+def qmm_auto(params: dict, x: Array) -> Array:
+    """Dispatch: Pallas kernel when shapes allow, XLA einsum otherwise."""
+    from .quant import qmatmul
+
+    wq = params.get("w_q")
+    if wq is None:
+        raise ValueError("not a quantized param dict")
+    out_f, in_f = wq.shape
+    lead = x.shape[:-1]
+    flat = x.reshape(-1, in_f)
+    b = flat.shape[0]
+    ng = params["scales"].shape[1]
+    tile = 256 if out_f % 256 == 0 else (128 if out_f % 128 == 0 else 0)
+    on_tpu = jax.default_backend() not in ("cpu",)
+    if (not on_tpu or tile == 0 or in_f % 128 or b > 256
+            or (in_f // ng) % 1):
+        return qmatmul(params, x)
+    try:
+        y = qmm_pallas(params, flat, tile_out=tile)
+        return y.reshape(lead + (out_f,))
+    except Exception:
+        return qmatmul(params, x)

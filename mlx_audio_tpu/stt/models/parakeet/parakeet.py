@@ -1,0 +1,258 @@
+"""Parakeet STT: FastConformer encoder + TDT/RNNT/CTC decoders.
+
+Parity: /root/reference/mlx_audio/stt/models/parakeet/parakeet.py
+(ParakeetTDT :489 w/ _tdt_step :522, ParakeetRNNT :622, ParakeetCTC :723,
+Model dispatch :131, generate :164 / stream_generate :290), rnnt.py
+(LSTM predict network :88, joint :121), ctc.py (ConvASRDecoder :19).
+
+TPU notes: the conformer encoder runs as one jitted program per length
+bucket; the greedy TDT/RNNT label loop runs per frame with the LSTM predict
+state threaded explicitly; CTC decode is a pure argmax + collapse on device.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ....base import BaseModelArgs
+from ....model import FunctionalModel
+from ....nn import apply_conv1d, apply_embedding, apply_linear, apply_lstm, \
+    init_conv1d, init_embedding, init_linear, init_lstm
+from ..base import STTOutput
+from .conformer import ConformerArgs, conformer_forward, init_conformer
+
+Array = jax.Array
+
+SAMPLE_RATE = 16000
+HOP = 160
+
+
+def log_mel(audio: Array, n_mels: int = 80) -> Array:
+    """NeMo-style preprocessor: 25 ms window / 10 ms hop, per-feature
+    normalized natural-log mel."""
+    from ....dsp import log_mel_spectrogram
+
+    mel = log_mel_spectrogram(audio, n_fft=512, hop_length=HOP,
+                              n_mels=n_mels, sample_rate=SAMPLE_RATE,
+                              log_base="ln", log_floor_mode="add")
+    mean = jnp.mean(mel, axis=-2, keepdims=True)
+    std = jnp.std(mel, axis=-2, keepdims=True) + 1e-5
+    return (mel - mean) / std
+
+
+@dataclass
+class PredictArgs:
+    pred_hidden: int = 640
+    pred_rnn_layers: int = 2
+    vocab_size: int = 1024
+
+
+@dataclass
+class JointArgs:
+    joint_hidden: int = 640
+    encoder_hidden: int = 512
+    pred_hidden: int = 640
+    num_classes: int = 1030  # vocab + blank (+ durations for TDT)
+    num_extra_outputs: int = 0  # TDT duration heads
+
+
+@dataclass
+class ModelConfig(BaseModelArgs):
+    model_type: str = "parakeet"
+    decoding: str = "tdt"  # tdt | rnnt | ctc
+    encoder: dict = field(default_factory=dict)
+    prediction: dict = field(default_factory=dict)
+    joint: dict = field(default_factory=dict)
+    vocab_size: int = 1024
+    durations: List[int] = field(default_factory=lambda: [0, 1, 2, 3, 4])
+    vocabulary: Optional[List[str]] = None
+    model_path: str = ""
+
+    def __post_init__(self):
+        enc = {k: v for k, v in (self.encoder or {}).items()
+               if k in ConformerArgs.__dataclass_fields__}
+        self.encoder_args = ConformerArgs(**enc)
+        pred = {k: v for k, v in (self.prediction or {}).items()
+                if k in PredictArgs.__dataclass_fields__}
+        self.pred_args = PredictArgs(**{**pred,
+                                        "vocab_size": self.vocab_size})
+        joint = {k: v for k, v in (self.joint or {}).items()
+                 if k in JointArgs.__dataclass_fields__}
+        self.joint_args = JointArgs(**{
+            "encoder_hidden": self.encoder_args.d_model,
+            "pred_hidden": self.pred_args.pred_hidden, **joint})
+
+
+class Model(FunctionalModel):
+    def __init__(self, config: ModelConfig):
+        if isinstance(config, dict):
+            config = ModelConfig.from_dict(config)
+        super().__init__(config)
+        self.enc_args = config.encoder_args
+
+    # -- params --------------------------------------------------------------
+
+    def init_params(self, key):
+        c = self.config
+        ks = iter(jax.random.split(key, 16))
+        p = {"encoder": init_conformer(next(ks), self.enc_args)}
+        if c.decoding in ("tdt", "rnnt"):
+            pa, ja = c.pred_args, c.joint_args
+            p["decoder"] = {
+                "embed": init_embedding(next(ks), pa.vocab_size + 1,
+                                        pa.pred_hidden),
+                "lstm": {str(i): init_lstm(
+                    next(ks), pa.pred_hidden, pa.pred_hidden)
+                    for i in range(pa.pred_rnn_layers)},
+            }
+            p["joint"] = {
+                "enc_proj": init_linear(next(ks), ja.encoder_hidden,
+                                        ja.joint_hidden),
+                "pred_proj": init_linear(next(ks), ja.pred_hidden,
+                                         ja.joint_hidden),
+                "out": init_linear(next(ks), ja.joint_hidden,
+                                   ja.num_classes),
+            }
+        if c.decoding in ("ctc", "tdt_ctc"):
+            p["ctc_decoder"] = {"conv": init_conv1d(
+                next(ks), self.enc_args.d_model, c.vocab_size + 1, 1)}
+        return p
+
+    # -- encoder -------------------------------------------------------------
+
+    def encode(self, audio) -> Array:
+        audio = jnp.asarray(audio, jnp.float32)
+        if audio.ndim == 1:
+            audio = audio[None]
+        mel = log_mel(audio, self.enc_args.feat_in)
+        fn = self._jit_cache.get(("enc", mel.shape[1]))
+        if fn is None:
+            fn = jax.jit(lambda p, m: conformer_forward(
+                p["encoder"], self.enc_args, m))
+            self._jit_cache[("enc", mel.shape[1])] = fn
+        return fn(self.params, mel)
+
+    # -- decoders ------------------------------------------------------------
+
+    def _predict_step(self, token, lstm_states):
+        """One predict-network step: token (B,) -> (pred (B, H), states)."""
+        p = self.params["decoder"]
+        x = apply_embedding(p["embed"], token)[:, None]  # (B, 1, H)
+        new_states = []
+        for i in range(self.config.pred_args.pred_rnn_layers):
+            lp = p["lstm"][str(i)]
+            # single-step LSTM with explicit state
+            h_prev, c_prev = lstm_states[i]
+            wih, whh = lp["weight_ih"], lp["weight_hh"]
+            b = lp.get("bias_ih", 0) + lp.get("bias_hh", 0)
+            gates = x[:, 0] @ wih.T + h_prev @ whh.T + b
+            ig, fg, gg, og = jnp.split(gates, 4, axis=-1)
+            c_new = jax.nn.sigmoid(fg) * c_prev + jax.nn.sigmoid(ig) * \
+                jnp.tanh(gg)
+            h_new = jax.nn.sigmoid(og) * jnp.tanh(c_new)
+            new_states.append((h_new, c_new))
+            x = h_new[:, None]
+        return x[:, 0], new_states
+
+    def _joint(self, enc_t, pred):
+        j = self.params["joint"]
+        h = jax.nn.relu(apply_linear(j["enc_proj"], enc_t)
+                        + apply_linear(j["pred_proj"], pred))
+        return apply_linear(j["out"], h)
+
+    def decode_tdt(self, enc: Array, max_symbols_per_frame: int = 8):
+        """Greedy token-and-duration-transducer decode
+        (reference parakeet.py:522-620)."""
+        c = self.config
+        blank = c.vocab_size
+        n_dur = len(c.durations)
+        b, t_len, _ = enc.shape
+        assert b == 1
+        pa = c.pred_args
+        states = [(jnp.zeros((1, pa.pred_hidden)),
+                   jnp.zeros((1, pa.pred_hidden)))
+                  for _ in range(pa.pred_rnn_layers)]
+        pred, states = self._predict_step(
+            jnp.full((1,), blank, jnp.int32), states)
+        tokens: List[int] = []
+        frames: List[int] = []
+        t = 0
+        sym = 0
+        enc_np = enc
+        while t < t_len:
+            logits = np.asarray(self._joint(enc_np[:, t], pred))[0]
+            if c.decoding == "tdt":
+                tok_logits = logits[: blank + 1]
+                dur_logits = logits[blank + 1: blank + 1 + n_dur]
+                tok = int(np.argmax(tok_logits))
+                dur = c.durations[int(np.argmax(dur_logits))]
+            else:  # rnnt
+                tok = int(np.argmax(logits[: blank + 1]))
+                dur = 0
+            if tok != blank:
+                tokens.append(tok)
+                frames.append(t)
+                pred, states = self._predict_step(
+                    jnp.full((1,), tok, jnp.int32), states)
+                sym += 1
+            if tok == blank or (c.decoding == "tdt" and dur > 0):
+                t += max(dur, 1) if c.decoding == "tdt" else 1
+                sym = 0
+            elif sym >= max_symbols_per_frame:
+                t += 1
+                sym = 0
+        return tokens, frames
+
+    def decode_ctc(self, enc: Array):
+        """Greedy CTC: argmax -> collapse repeats -> drop blanks."""
+        logits = apply_conv1d(self.params["ctc_decoder"]["conv"], enc)
+        ids = np.asarray(jnp.argmax(logits, axis=-1))[0]
+        blank = self.config.vocab_size
+        tokens, frames = [], []
+        prev = -1
+        for t, i in enumerate(ids):
+            if i != blank and i != prev:
+                tokens.append(int(i))
+                frames.append(t)
+            prev = int(i)
+        return tokens, frames
+
+    def _detokenize(self, tokens: List[int]) -> str:
+        vocab = self.config.vocabulary
+        if vocab:
+            return "".join(vocab[t] for t in tokens
+                           if 0 <= t < len(vocab)).replace("▁", " ").strip()
+        return " ".join(str(t) for t in tokens)
+
+    # -- public --------------------------------------------------------------
+
+    def generate(self, audio, **kwargs) -> STTOutput:
+        import time as _t
+
+        t0 = _t.time()
+        if isinstance(audio, str):
+            from ...utils import load_audio
+
+            audio = np.asarray(load_audio(audio, sample_rate=SAMPLE_RATE))
+        enc = self.encode(audio)
+        if self.config.decoding == "ctc":
+            tokens, frames = self.decode_ctc(enc)
+        else:
+            tokens, frames = self.decode_tdt(enc)
+        sub = self.enc_args.subsampling_factor
+        spf = HOP * sub / SAMPLE_RATE  # seconds per encoder frame
+        segments = [{"start": round(f * spf, 2),
+                     "end": round((f + 1) * spf, 2),
+                     "text": self._detokenize([t])}
+                    for t, f in zip(tokens, frames)]
+        wall = _t.time() - t0
+        return STTOutput(
+            text=self._detokenize(tokens), segments=segments,
+            language="en", generation_tokens=len(tokens),
+            total_time=wall,
+            generation_tps=len(tokens) / wall if wall else 0.0)
