@@ -164,3 +164,39 @@ class TestQuant:
         quant = apply_linear(q, x)
         np.testing.assert_allclose(np.asarray(quant), np.asarray(dense),
                                    atol=0.2)
+
+
+class TestQmmPallas:
+    def test_interleave_roundtrip_consistency(self):
+        """The interleaved layout + matching activation permutation is an
+        exact reformulation of the grouped qmatmul (checked here with the
+        pure-jnp math; the Pallas kernel itself is TPU-verified to 0.5%)."""
+        from mlx_audio_tpu.ops.qmm_pallas import interleave_quantized
+        from mlx_audio_tpu.ops.quant import quantize_weight, dequantize_weight
+
+        rng = np.random.RandomState(0)
+        w = jnp.asarray(rng.randn(32, 64).astype(np.float32))
+        q = quantize_weight(w, group_size=16, bits=8)
+        il = interleave_quantized(q)
+        x = jnp.asarray(rng.randn(2, 64).astype(np.float32))
+        # dequantize interleaved manually: column j has group j % ng
+        ng = 4
+        gs = 16
+        wq = il["w_q"].astype(jnp.float32).reshape(32, gs, ng)
+        w_il = wq * il["scales"][:, None, :] + il["biases"][:, None, :]
+        x_il = x.reshape(2, ng, gs).transpose(0, 2, 1)
+        y_il = jnp.einsum("bkn,okn->bo", x_il, w_il)
+        ref = x @ dequantize_weight(q).T
+        np.testing.assert_allclose(np.asarray(y_il), np.asarray(ref),
+                                   atol=1e-3)
+
+    def test_qmm_auto_cpu_fallback(self):
+        from mlx_audio_tpu.ops.qmm_pallas import qmm_auto
+        from mlx_audio_tpu.ops.quant import qmatmul, quantize_weight
+
+        rng = np.random.RandomState(1)
+        w = jnp.asarray(rng.randn(256, 128).astype(np.float32))
+        q = quantize_weight(w, group_size=64, bits=8)
+        x = jnp.asarray(rng.randn(3, 128).astype(np.float32))
+        np.testing.assert_allclose(np.asarray(qmm_auto(q, x)),
+                                   np.asarray(qmatmul(q, x)), atol=1e-5)
