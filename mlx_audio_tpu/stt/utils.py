@@ -20,6 +20,9 @@ MODEL_REMAPPING = {
     "voxtral_realtime": "voxtral_realtime",
     "parakeet": "parakeet",
     "silero": "silero_vad",
+    "wav2vec2": "mms",
+    "wav2vec": "mms",
+    "mms": "mms",
 }
 
 
