@@ -82,3 +82,25 @@ def apply_mrope(
     x2 = x[..., half:]
     out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
     return out.astype(x.dtype)
+
+
+def apply_rope_interleaved(x: Array, positions: Array, inv_freq: Array) -> Array:
+    """GPT-NeoX-interleaved partial RoPE (HF Moonshine semantics,
+    reference stt/models/moonshine/moonshine.py:34-58): pair (2j, 2j+1)
+    shares angle pos * inv_freq[j]; dims beyond 2*len(inv_freq) pass through.
+
+    x: (B, T, H, D); positions: (T,) or (B, T); inv_freq: (rot/2,).
+    """
+    rot = 2 * inv_freq.shape[0]
+    ang = jnp.asarray(positions)[..., None].astype(jnp.float32) * inv_freq
+    if ang.ndim == 2:                      # (T, rot/2) -> (1, T, rot/2)
+        ang = ang[None]
+    cos = jnp.cos(ang)[:, :, None, :]      # (B, T, 1, rot/2)
+    sin = jnp.sin(ang)[:, :, None, :]
+    xr = x[..., :rot]
+    x1 = xr[..., 0::2]
+    x2 = xr[..., 1::2]
+    r1 = x1 * cos - x2 * sin
+    r2 = x2 * cos + x1 * sin
+    rotated = jnp.stack([r1, r2], axis=-1).reshape(xr.shape)
+    return jnp.concatenate([rotated.astype(x.dtype), x[..., rot:]], axis=-1)

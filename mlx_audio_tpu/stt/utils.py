@@ -23,6 +23,7 @@ MODEL_REMAPPING = {
     "wav2vec2": "mms",
     "wav2vec": "mms",
     "mms": "mms",
+    "moonshine": "moonshine",
 }
 
 
