@@ -282,20 +282,33 @@ def istft(
     if hop_length is None:
         hop_length = win_length // 4
 
+    # Resolve the window on the HOST whenever possible (str / numpy input):
+    # the normalization envelope is precomputed in numpy, so istft stays
+    # usable inside jit (where jnp constants become tracers).
+    w_np = None
     if isinstance(window, str):
-        fn = STR_TO_WINDOW_FN.get(window.lower())
-        if fn is None:
+        kind = {"hanning": "hann"}.get(window.lower(), window.lower())
+        if window.lower() not in STR_TO_WINDOW_FN:
             raise ValueError(f"Unknown window function: {window}")
-        w = fn(win_length + 1)[:-1]  # periodic window, reference behavior
-    else:
-        w = jnp.asarray(window)
+        w_np = _window_np(kind, win_length + 1, False)[:-1] \
+            .astype(np.float32)  # periodic window, reference behavior
+    elif isinstance(window, np.ndarray):
+        w_np = np.asarray(window, np.float32)
+    if w_np is not None and w_np.shape[0] < win_length:
+        w_np = np.pad(w_np, (0, win_length - w_np.shape[0]))
+    w = jnp.asarray(w_np if w_np is not None else window)
     if w.shape[0] < win_length:
         w = jnp.concatenate([w, jnp.zeros((win_length - w.shape[0],), dtype=w.dtype)])
 
     num_frames = x.shape[0]
     frames_time = jnp.fft.irfft(x, axis=-1)[..., :win_length]
     reconstructed = overlap_add(frames_time * w, hop_length, win_length)
-    env = _window_envelope(w, num_frames, hop_length, squared=normalized)
+    if w_np is not None:
+        env = jnp.asarray(_window_envelope_np(
+            tuple(w_np.astype(np.float64).tolist()), num_frames, hop_length,
+            win_length, normalized))
+    else:
+        env = _window_envelope(w, num_frames, hop_length, squared=normalized)
     reconstructed = jnp.where(env > 1e-10, reconstructed / env, reconstructed)
 
     if center and length is None:

@@ -164,6 +164,50 @@ class STTExecutionAdapter(BaseModelExecutionAdapter):
         request.emit_done()
 
 
+class SeparationExecutionAdapter(BaseModelExecutionAdapter):
+    """Source separation on the broker thread (reference server.py:756-821).
+
+    The reference adapter is sam_audio-specific; here any STS model exposing
+    `separate(audio)` works (mel_band_roformer today). target = the model's
+    separated stem; residual = input - target."""
+
+    def __init__(self, provider: ModelProvider):
+        self.provider = provider
+
+    def run_serial(self, request: InferenceRequest) -> None:
+        import base64
+
+        model = self.provider.get_cached(request.model_name)
+        if model is None:
+            raise ValueError(f"Model not loaded: {request.model_name}")
+        if not hasattr(model, "separate"):
+            raise ValueError(
+                f"Model {request.model_name} has no separate() API")
+        audio, sr = request.payload
+        target_sr = getattr(getattr(model, "config", None), "sample_rate",
+                            sr)
+        x = np.asarray(audio, np.float32)
+        if x.ndim == 1:
+            x = np.stack([x, x])
+        elif x.shape[0] != 2 and x.shape[-1] == 2:
+            x = x.T
+        if sr != target_sr:
+            from .utils import resample_audio
+            x = np.stack([np.asarray(resample_audio(ch, sr, target_sr))
+                          for ch in x])
+        result = model.separate(x)
+        target = np.asarray(result.vocals, np.float32)
+        residual = x[:, : target.shape[1]] - target
+
+        def b64(a):
+            return base64.b64encode(
+                _encode_wav(a.T, result.sample_rate)).decode()
+
+        request.emit_data({"target": b64(target), "residual": b64(residual),
+                           "sample_rate": result.sample_rate})
+        request.emit_done()
+
+
 # ---------------------------------------------------------------------------
 # Server app
 # ---------------------------------------------------------------------------
@@ -200,6 +244,8 @@ class AudioServer:
         self.broker = InferenceBroker()
         self.broker.register_adapter("tts", TTSExecutionAdapter(self.provider))
         self.broker.register_adapter("stt", STTExecutionAdapter(self.provider))
+        self.broker.register_adapter(
+            "separation", SeparationExecutionAdapter(self.provider))
         self.app = web.Application(client_max_size=512 * 1024 * 1024)
         self._routes()
 
@@ -429,9 +475,37 @@ class AudioServer:
         return web.json_response({"text": output.text})
 
     async def separations(self, request):
-        return web.json_response(
-            {"error": "audio separation model (sam_audio) is not yet "
-                      "available in this build"}, status=501)
+        """POST /v1/audio/separations (reference server.py:1109-1146):
+        multipart {file, model, description, method, steps} -> JSON with
+        base64 target/residual WAVs + sample_rate."""
+        form = await request.post()
+        upload = form.get("file")
+        if upload is None:
+            return web.json_response({"error": "missing file"}, status=400)
+        model_name = form.get("model", os.environ.get(
+            "MLX_AUDIO_SEPARATION_MODEL", ""))
+        if not model_name:
+            return web.json_response({"error": "no model specified"},
+                                     status=400)
+        try:
+            await self.provider.load(model_name, category="sts")
+        except Exception as e:
+            return web.json_response({"error": str(e)}, status=404)
+        data = upload.file.read()
+        audio, sr = audio_io.read(io.BytesIO(data))
+        if audio.ndim > 1:
+            audio = audio.T          # (channels, samples)
+        handle = self.broker.submit(
+            endpoint_kind="separation", model_name=model_name,
+            payload=(audio, sr),
+            normalized_kwargs={
+                "description": form.get("description", "speech"),
+                "method": form.get("method", "midpoint"),
+                "steps": int(form.get("steps", 16)),
+            })
+        async for payload in _drain_handle(handle):
+            return web.json_response(payload)
+        return web.json_response({"error": "no result"}, status=500)
 
     # -- WS: realtime transcription (reference :1224-1460) ------------------
 

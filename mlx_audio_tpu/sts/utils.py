@@ -18,6 +18,7 @@ MODEL_REMAPPING = {
     "mossformer2": "mossformer2_se",
     "mossformer2_se": "mossformer2_se",
     "mel_roformer": "mel_roformer",
+    "mel_band_roformer": "mel_roformer",
     "lfm_audio": "lfm_audio",
 }
 

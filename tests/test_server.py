@@ -279,14 +279,58 @@ class TestEndpoints:
 
         _run(go())
 
-    def test_separations_stub(self):
+    def test_separations_endpoint(self):
         async def go():
+            import base64
+
+            import aiohttp
             from aiohttp.test_utils import TestClient, TestServer
 
+            from mlx_audio_tpu import audio_io
+
+            class _Res:
+                def __init__(self, vocals, sr):
+                    self.vocals = vocals
+                    self.sample_rate = sr
+
+            class _Cfg:
+                sample_rate = 16000
+
+            class FakeSeparator:
+                config = _Cfg()
+
+                def separate(self, audio):
+                    return _Res(np.asarray(audio) * 0.5, 16000)
+
             server = _make_client_app()
+            server.provider._models["fake-sep"] = FakeSeparator()
+            wav = io.BytesIO()
+            audio_io.write(wav, np.ones(8000, np.float32) * 0.2, 16000)
             async with TestClient(TestServer(server.app)) as client:
-                r = await client.post("/v1/audio/separations", json={})
-                assert r.status == 501
+                form = aiohttp.FormData()
+                form.add_field("file", wav.getvalue(), filename="a.wav")
+                form.add_field("model", "fake-sep")
+                r = await client.post("/v1/audio/separations", data=form)
+                assert r.status == 200
+                data = await r.json()
+                assert data["sample_rate"] == 16000
+                tgt, _ = audio_io.read(
+                    io.BytesIO(base64.b64decode(data["target"])))
+                res, _ = audio_io.read(
+                    io.BytesIO(base64.b64decode(data["residual"])))
+                # target = 0.5x input, residual = input - target = 0.5x
+                assert abs(float(np.abs(tgt).mean()) - 0.1) < 0.01
+                assert abs(float(np.abs(res).mean()) - 0.1) < 0.01
+
+                # missing file -> 400; unknown model -> 404
+                r = await client.post("/v1/audio/separations",
+                                      data=aiohttp.FormData())
+                assert r.status == 400
+                form = aiohttp.FormData()
+                form.add_field("file", wav.getvalue(), filename="a.wav")
+                form.add_field("model", "nope")
+                r = await client.post("/v1/audio/separations", data=form)
+                assert r.status == 404
             server.broker.stop_and_join()
 
         _run(go())
