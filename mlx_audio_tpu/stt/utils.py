@@ -24,6 +24,8 @@ MODEL_REMAPPING = {
     "wav2vec": "mms",
     "mms": "mms",
     "moonshine": "moonshine",
+    "sensevoice": "sensevoice",
+    "sense_voice": "sensevoice",
 }
 
 
