@@ -25,6 +25,8 @@ from .layers import (
     causal_conv1d_step,
     gelu,
     init_conv1d,
+    init_conv2d,
+    apply_conv2d,
     init_conv_transpose1d,
     init_embedding,
     init_group_norm,
