@@ -218,10 +218,36 @@ def init_conformer(key, a: ConformerArgs) -> dict:
     }
 
 
-def conformer_forward(p, a: ConformerArgs, mel: Array) -> Array:
+def subsampled_length(a: ConformerArgs, n):
+    """Mel frames -> encoder frames for the dw_striding stack."""
+    import jax.numpy as _jnp
+    out = _jnp.asarray(n)
+    stages = {8: 3, 4: 2, 2: 1}.get(a.subsampling_factor, 3)
+    for _ in range(stages):
+        out = (out - 1) // 2 + 1
+    return out
+
+
+def conformer_forward(p, a: ConformerArgs, mel: Array,
+                      lengths: Optional[Array] = None) -> Array:
+    """mel (B, T, F) -> (B, T/sub, d). With `lengths` (mel frames), padded
+    positions are masked out of attention and re-zeroed after each block,
+    so bucketed inputs match tight shapes."""
     x = apply_subsampling(p["pre_encode"], a, mel)
+    if a.xscaling:
+        x = x * (a.d_model ** 0.5)
     t = x.shape[1]
     pos_emb = jnp.asarray(rel_pos_encoding(t, a.d_model))
+    mask = None
+    vmask = None
+    if lengths is not None:
+        n = subsampled_length(a, lengths)
+        valid = jnp.arange(t)[None, :] < n[:, None]
+        mask = valid[:, None, None, :]
+        vmask = valid.astype(x.dtype)[..., None]
+        x = x * vmask
     for i in range(a.n_layers):
-        x = conformer_block(p["layers"][str(i)], a, x, pos_emb)
+        x = conformer_block(p["layers"][str(i)], a, x, pos_emb, mask=mask)
+        if vmask is not None:
+            x = x * vmask
     return x

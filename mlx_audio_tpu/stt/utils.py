@@ -26,6 +26,7 @@ MODEL_REMAPPING = {
     "moonshine": "moonshine",
     "sensevoice": "sensevoice",
     "sense_voice": "sensevoice",
+    "canary": "canary",
 }
 
 
