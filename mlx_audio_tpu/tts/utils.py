@@ -27,6 +27,7 @@ MODEL_REMAPPING = {
     "dia": "dia",
     "spark": "spark",
     "outetts": "outetts",
+    "soprano": "soprano",
     "melotts": "melotts",
     "vits": "melotts",
 }
