@@ -28,6 +28,8 @@ MODEL_REMAPPING = {
     "spark": "spark",
     "outetts": "outetts",
     "soprano": "soprano",
+    "vibevoice": "vibevoice",
+    "vibevoice_streaming": "vibevoice",
     "melotts": "melotts",
     "vits": "melotts",
 }
