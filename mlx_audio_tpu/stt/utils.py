@@ -27,6 +27,8 @@ MODEL_REMAPPING = {
     "sensevoice": "sensevoice",
     "sense_voice": "sensevoice",
     "canary": "canary",
+    "qwen3_asr": "qwen3_asr",
+    "qwen3_omni_moe": "qwen3_asr",
 }
 
 
