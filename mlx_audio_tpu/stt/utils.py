@@ -29,6 +29,7 @@ MODEL_REMAPPING = {
     "canary": "canary",
     "qwen3_asr": "qwen3_asr",
     "qwen3_omni_moe": "qwen3_asr",
+    "mega_asr": "mega_asr",
 }
 
 
