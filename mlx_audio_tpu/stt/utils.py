@@ -30,6 +30,8 @@ MODEL_REMAPPING = {
     "qwen3_asr": "qwen3_asr",
     "qwen3_omni_moe": "qwen3_asr",
     "mega_asr": "mega_asr",
+    "glmasr": "glmasr",
+    "glm_asr": "glmasr",
 }
 
 
