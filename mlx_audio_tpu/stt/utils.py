@@ -32,6 +32,7 @@ MODEL_REMAPPING = {
     "mega_asr": "mega_asr",
     "glmasr": "glmasr",
     "glm_asr": "glmasr",
+    "nemotron_asr": "nemotron_asr",
 }
 
 
