@@ -33,6 +33,7 @@ MODEL_REMAPPING = {
     "glmasr": "glmasr",
     "glm_asr": "glmasr",
     "nemotron_asr": "nemotron_asr",
+    "voxtral_realtime": "voxtral_realtime",
 }
 
 
