@@ -55,3 +55,43 @@ def kv_update_row(cache: KVCache, row: Array, k_new: Array, v_new: Array,
     v = jax.lax.dynamic_update_slice(
         cache.v, v_new[None].astype(cache.v.dtype), (row, offset, 0, 0))
     return KVCache(k, v)
+
+
+def ring_update(cache: KVCache, k_new: Array, v_new: Array,
+                offset: Array) -> KVCache:
+    """Ring-buffer write: positions offset..offset+S-1 land at slot
+    pos % cap (contiguous chunk, S <= cap, so slots are distinct).
+
+    The TPU-native sliding-window cache (parity target: the reference's
+    mlx_lm RotatingKVCache used by voxtral_realtime streaming): a fixed
+    (B, cap, H, D) buffer lives for the whole session; steady state is
+    O(1) scatter writes, never a reallocation or roll.
+
+    Invariant: cap >= window + S, otherwise this chunk's writes evict
+    keys still inside earlier queries' windows.
+    """
+    cap = cache.k.shape[1]
+    s = k_new.shape[1]
+    slots = (offset + jnp.arange(s)) % cap
+    k = cache.k.at[:, slots].set(k_new.astype(cache.k.dtype))
+    v = cache.v.at[:, slots].set(v_new.astype(cache.v.dtype))
+    return KVCache(k, v)
+
+
+def ring_mask(cap: int, window: int, offset: Array, n_valid: Array,
+              q_len: int) -> Array:
+    """Additive (1, 1, q_len, cap) mask for ring-cache attention.
+
+    Queries sit at absolute positions offset..offset+q_len-1; slot s
+    holds the most recent absolute position congruent to s written so
+    far (total = offset + n_valid writes this call). A key is visible
+    iff it was written, is causally before the query, and lies inside
+    the sliding window.
+    """
+    total = offset + n_valid
+    s = jnp.arange(cap)
+    key_abs = s + ((total - 1 - s) // cap) * cap
+    q_abs = offset + jnp.arange(q_len)
+    d = q_abs[:, None] - key_abs[None, :]
+    allow = (d >= 0) & (d < window) & (key_abs >= 0)[None, :]
+    return jnp.where(allow, 0.0, -jnp.inf)[None, None]

@@ -618,6 +618,14 @@ class Model(FunctionalModel):
             out[k] = v
         return out
 
+    def create_streaming_session(self, **kwargs):
+        """Live feed()/close()/step() session (streaming.py)."""
+        if self._tokenizer is None:
+            raise RuntimeError("voxtral_realtime needs tekken.json in the "
+                               "model directory")
+        from .streaming import VoxtralStreamingSession
+        return VoxtralStreamingSession(self, **kwargs)
+
     @staticmethod
     def post_load_hook(model: "Model", model_path) -> "Model":
         try:
