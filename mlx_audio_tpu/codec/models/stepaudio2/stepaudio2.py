@@ -34,14 +34,13 @@ from ....model import FunctionalModel
 from ....nn import (apply_conv1d, apply_embedding, apply_layer_norm,
                     apply_linear, init_conv1d, init_embedding,
                     init_layer_norm, init_linear)
-from ....stt.models.parakeet.conformer import (_rel_pos_attention,
-                                               rel_pos_encoding)
-from ....stt.models.parakeet.conformer import ConformerArgs as _PkArgs
 from ...models.s3 import Model as S3Model
 from ....tts.models.chatterbox.s3gen.hifigan import (HiFTConfig,
                                                      hift_generate,
                                                      init_hift)
 from ....tts.models.chatterbox.s3gen.mel import mel_spectrogram
+from ....tts.models.chatterbox.s3gen.upsample_encoder import (
+    init_espnet_block, init_upsample_encoder, upsample_encode)
 from ....tts.models.chatterbox.s3gen.xvector import (CAMPPlusConfig,
                                                      campplus_forward,
                                                      init_campplus,
@@ -77,45 +76,13 @@ class ModelConfig(BaseModelArgs):
 
 # ------------------------------------------------------------------ init
 
-def _init_espnet_block(ks, d: int, heads: int, ffn: int) -> dict:
-    return {
-        "self_attn": {
-            "linear_q": init_linear(next(ks), d, d),
-            "linear_k": init_linear(next(ks), d, d),
-            "linear_v": init_linear(next(ks), d, d),
-            "linear_out": init_linear(next(ks), d, d),
-            "linear_pos": init_linear(next(ks), d, d, bias=False),
-            "pos_bias_u": jnp.zeros((heads, d // heads)),
-            "pos_bias_v": jnp.zeros((heads, d // heads))},
-        "norm_mha": init_layer_norm(d),
-        "norm_ff": init_layer_norm(d),
-        "feed_forward": {"w_1": init_linear(next(ks), d, ffn),
-                         "w_2": init_linear(next(ks), ffn, d)}}
-
-
 def init_flow(key, cfg: ModelConfig) -> dict:
     d = cfg.input_size
     ks = iter(jax.random.split(key, 1024))
-    enc = {
-        "embed": {"linear": init_linear(next(ks), d, d),
-                  "norm": init_layer_norm(d)},
-        "pre_lookahead_layer": {
-            "conv1": init_conv1d(next(ks), d, d,
-                                 cfg.pre_lookahead_len + 1),
-            "conv2": init_conv1d(next(ks), d, d, 3)},
-        "encoders": {str(i): _init_espnet_block(ks, d,
-                                                cfg.attention_heads,
-                                                cfg.linear_units)
-                     for i in range(cfg.num_blocks)},
-        "up_layer": {"conv": init_conv1d(next(ks), d, d,
-                                         cfg.up_stride * 2 + 1)},
-        "up_embed": {"linear": init_linear(next(ks), d, d),
-                     "norm": init_layer_norm(d)},
-        "up_encoders": {str(i): _init_espnet_block(ks, d,
-                                                   cfg.attention_heads,
-                                                   cfg.linear_units)
-                        for i in range(cfg.num_up_blocks)},
-        "after_norm": init_layer_norm(d)}
+    enc = init_upsample_encoder(ks, d, cfg.attention_heads,
+                                cfg.linear_units, cfg.num_blocks,
+                                cfg.num_up_blocks, cfg.up_stride,
+                                cfg.pre_lookahead_len)
 
     h = cfg.dit_hidden
     blocks = {}
@@ -151,57 +118,6 @@ def init_flow(key, cfg: ModelConfig) -> dict:
         "encoder": enc,
         "encoder_proj": init_linear(next(ks), d, cfg.output_size),
         "decoder": {"estimator": estimator}}
-
-
-# --------------------------------------------------------------- encoder
-
-def _espnet_stack(p_layers: dict, n: int, d: int, heads: int,
-                  x: Array, pos_emb: Array, mask) -> Array:
-    pa = _PkArgs(d_model=d, n_heads=heads)
-    for i in range(n):
-        blk = p_layers[str(i)]
-        h = apply_layer_norm(blk["norm_mha"], x, eps=1e-12)
-        x = x + _rel_pos_attention(blk["self_attn"], pa, h, pos_emb, mask)
-        h = apply_layer_norm(blk["norm_ff"], x, eps=1e-12)
-        f = blk["feed_forward"]
-        x = x + apply_linear(f["w_2"],
-                             jax.nn.silu(apply_linear(f["w_1"], h)))
-    return x
-
-
-def upsample_encode(p: dict, cfg: ModelConfig, x: Array,
-                    n_valid: Array) -> Array:
-    """(B, T, input_size) embedded tokens -> (B, T*up, input_size)."""
-    d = cfg.input_size
-    t = x.shape[1]
-    mask = (jnp.arange(t) < n_valid)[None, None, None, :]
-    x = apply_layer_norm(p["embed"]["norm"],
-                         apply_linear(p["embed"]["linear"], x), eps=1e-5)
-    x = x * math.sqrt(d)
-    pos_emb = jnp.asarray(rel_pos_encoding(t, d))
-    pl = p["pre_lookahead_layer"]
-    h = jnp.pad(x, ((0, 0), (0, cfg.pre_lookahead_len), (0, 0)))
-    h = jax.nn.leaky_relu(apply_conv1d(pl["conv1"], h), 0.01)
-    h = apply_conv1d(pl["conv2"], jnp.pad(h, ((0, 0), (2, 0), (0, 0))))
-    x = h + x
-    x = _espnet_stack(p["encoders"], cfg.num_blocks, d,
-                      cfg.attention_heads, x, pos_emb, mask)
-    # repeat-upsample + causal conv (Upsample1D)
-    s = cfg.up_stride
-    x = jnp.repeat(x, s, axis=1)
-    x = jnp.pad(x, ((0, 0), (2 * s, 0), (0, 0)))
-    x = apply_conv1d(p["up_layer"]["conv"], x)
-    t2 = x.shape[1]
-    n2 = n_valid * s
-    mask2 = (jnp.arange(t2) < n2)[None, None, None, :]
-    x = apply_layer_norm(p["up_embed"]["norm"],
-                         apply_linear(p["up_embed"]["linear"], x),
-                         eps=1e-5)
-    x = x * math.sqrt(d)
-    pos2 = jnp.asarray(rel_pos_encoding(t2, d))
-    x = _espnet_stack(p["up_encoders"], cfg.num_up_blocks, d,
-                      cfg.attention_heads, x, pos2, mask2)
-    return apply_layer_norm(p["after_norm"], x, eps=1e-5)
 
 
 # -------------------------------------------------------------------- DiT
@@ -400,7 +316,10 @@ class Model(FunctionalModel):
                 mask = (jnp.arange(tok.shape[1]) < n_valid)[None]
                 x = apply_embedding(p["input_embedding"], tok) \
                     * mask[..., None]
-                h = upsample_encode(p["encoder"], cfg, x, n_valid)
+                h = upsample_encode(p["encoder"], cfg.input_size,
+                                    cfg.attention_heads, cfg.num_blocks,
+                                    cfg.num_up_blocks, cfg.up_stride,
+                                    cfg.pre_lookahead_len, x, n_valid)
                 h = apply_linear(p["encoder_proj"], h)
                 t2 = h.shape[1]
                 cond = jnp.where(

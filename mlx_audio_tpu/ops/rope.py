@@ -104,3 +104,22 @@ def apply_rope_interleaved(x: Array, positions: Array, inv_freq: Array) -> Array
     r2 = x2 * cos + x1 * sin
     rotated = jnp.stack([r1, r2], axis=-1).reshape(xr.shape)
     return jnp.concatenate([rotated.astype(x.dtype), x[..., rot:]], axis=-1)
+
+
+def rope_freqs_llama3(dim: int, theta: float, factor: float = 8.0,
+                      low_freq_factor: float = 1.0,
+                      high_freq_factor: float = 4.0,
+                      original_max_position: int = 8192):
+    """Llama-3 frequency scaling (HF rope_type="llama3"): long wavelengths
+    divided by `factor`, short kept, smooth interpolation between."""
+    import numpy as np
+    inv = 1.0 / (theta ** (np.arange(0, dim, 2, dtype=np.float64) / dim))
+    wavelen = 2 * np.pi / inv
+    low_wl = original_max_position / low_freq_factor
+    high_wl = original_max_position / high_freq_factor
+    smooth = (original_max_position / wavelen - low_freq_factor) \
+        / (high_freq_factor - low_freq_factor)
+    smoothed = (1 - smooth) * inv / factor + smooth * inv
+    out = np.where(wavelen < high_wl, inv,
+                   np.where(wavelen > low_wl, inv / factor, smoothed))
+    return jnp.asarray(out.astype(np.float32))
