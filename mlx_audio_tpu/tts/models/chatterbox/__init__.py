@@ -1,0 +1,3 @@
+from .chatterbox import Model, ModelConfig
+
+__all__ = ["Model", "ModelConfig"]

@@ -30,6 +30,7 @@ MODEL_REMAPPING = {
     "soprano": "soprano",
     "vibevoice": "vibevoice",
     "vibevoice_streaming": "vibevoice",
+    "chatterbox": "chatterbox",
     "melotts": "melotts",
     "vits": "melotts",
 }
