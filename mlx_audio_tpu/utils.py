@@ -267,6 +267,10 @@ def base_load_model(
     Model(config) -> sanitize(weights) -> [quantize] -> bind params ->
     device put -> post_load_hook.
     """
+    from . import enable_compilation_cache
+
+    enable_compilation_cache()
+
     model_name = kwargs.pop("model_name_parts", None)
     model_type = kwargs.pop("model_type", None)
     allow_patterns = kwargs.pop("allow_patterns", None)
