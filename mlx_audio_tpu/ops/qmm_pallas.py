@@ -141,11 +141,16 @@ _IL_CACHE = {}
 
 
 def _interleave_cache_get(params: dict) -> dict:
-    key = id(params.get("w_q"))
+    # keyed on id() but retaining the original array: without the retained
+    # reference, CPython id reuse after a model unload could silently return
+    # a stale interleaved weight for a *different* layer (ADVICE r1)
+    w_q = params.get("w_q")
+    key = id(w_q)
     hit = _IL_CACHE.get(key)
-    if hit is None:
-        hit = interleave_quantized(params)
-        if len(_IL_CACHE) > 512:
-            _IL_CACHE.clear()
-        _IL_CACHE[key] = hit
-    return hit
+    if hit is not None and hit[0] is w_q:
+        return hit[1]
+    il = interleave_quantized(params)
+    if len(_IL_CACHE) > 512:
+        _IL_CACHE.clear()
+    _IL_CACHE[key] = (w_q, il)
+    return il

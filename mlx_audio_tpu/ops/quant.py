@@ -84,6 +84,51 @@ def qmatmul(params: dict, x: Array) -> Array:
     return y
 
 
+def unpack_mlx_quantized(
+    weight: Array, scales: Array, biases: Array, group_size: int = 64
+) -> dict:
+    """Unpack an MLX-packed pre-quantized leaf into this module's layout.
+
+    MLX checkpoints (mlx-community quantized repos) store affine group
+    quantization as `weight` uint32 (out, in*bits/32) with 32/bits codes
+    packed LSB-first per word, plus `scales`/`biases` (out, in/group_size);
+    dequant convention is the same as ours: w = scales * q + biases.
+    """
+    out_f, packed = weight.shape
+    in_f = scales.shape[1] * group_size
+    if packed == 0 or in_f % packed != 0:
+        raise ValueError(
+            f"cannot infer MLX quant bits: packed weight {weight.shape}, "
+            f"scales {scales.shape}, group_size {group_size}")
+    per = in_f // packed  # codes per uint32 word
+    if 32 % per != 0:
+        raise ValueError(
+            f"unsupported MLX packing: {per} codes per word "
+            f"(weight {weight.shape}, in_features {in_f})")
+    bits = 32 // per
+    if bits not in (2, 4, 8):
+        raise ValueError(
+            f"pre-quantized checkpoint uses {bits}-bit MLX packing; only "
+            "2/4/8-bit supported (3/6-bit use a mixed word layout)")
+    w = weight.astype(jnp.uint32)
+    shifts = (jnp.arange(per, dtype=jnp.uint32) * bits)[None, None, :]
+    codes = (w[..., None] >> shifts) & ((1 << bits) - 1)
+    return {
+        "w_q": codes.reshape(out_f, in_f).astype(jnp.uint8),
+        "scales": scales.astype(jnp.float32),
+        "biases": biases.astype(jnp.float32),
+    }
+
+
+def _is_prequantized_leaf(params: dict) -> bool:
+    w = params.get("weight")
+    return (
+        "scales" in params
+        and isinstance(w, jax.Array)
+        and not jnp.issubdtype(w.dtype, jnp.floating)
+    )
+
+
 def maybe_quantize_tree(
     params,
     group_size: int = 64,
@@ -97,8 +142,25 @@ def maybe_quantize_tree(
     the reference's class_predicate (utils.py:224-248). Embeddings and convs
     are skipped (ndim != 2 or vocab-shaped), as are layers whose input dim is
     not divisible by group_size.
+
+    Pre-quantized MLX checkpoints (uint32-packed `weight` + sibling
+    `scales`/`biases`) are unpacked into the native w_q layout instead of
+    being (corruptly) re-quantized; embedding-like leaves are dequantized to
+    dense so gather lookups stay simple.
     """
     if isinstance(params, dict):
+        if _is_prequantized_leaf(params):
+            q = unpack_mlx_quantized(
+                params["weight"], params["scales"],
+                params.get("biases", jnp.zeros_like(params["scales"])),
+                group_size)
+            leaf = path.rsplit(".", 1)[-1].lower()
+            rest = {k: v for k, v in params.items()
+                    if k not in ("weight", "scales", "biases")}
+            if any(tag in leaf for tag in ("embed", "codebook", "positional")):
+                return {"weight": dequantize_weight(q), **rest}
+            q.update(rest)
+            return q
         if "weight" in params and isinstance(params["weight"], jax.Array) \
                 and params["weight"].ndim == 2 and "w_q" not in params:
             w = params["weight"]

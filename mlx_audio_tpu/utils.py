@@ -163,7 +163,16 @@ def apply_quantization(
     group_size = quantization.get("group_size", 64)
     bits = quantization.get("bits", 4)
 
+    pre_quantized = weights is not None and any(
+        k.endswith(".scales") for k in weights
+    )
+
     def predicate(path, w):
+        if pre_quantized:
+            # checkpoint ships packed codes; leaves that have scales are
+            # unpacked by maybe_quantize_tree, the rest were deliberately
+            # left dense by the converter — never re-quantize them
+            return False
         if model_quant_predicate is not None and not model_quant_predicate(path, w):
             return False
         if path in quantization:
