@@ -105,7 +105,59 @@ def bench_qwen3():
             "compile_s": round(compile_wall, 1)}
 
 
+def bench_cohere_asr():
+    """10-minute-meeting analog (BASELINE: reference does it in 32 s wall on
+    M1 Max => 18.75x realtime). Real checkpoint dims (48-layer d1280
+    FastConformer + 8-layer d1024 decoder); random weights never emit EOS,
+    so every row decodes the full 150 tokens — a pessimistic workload."""
+    import jax.numpy as jnp
+
+    from mlx_audio_tpu.stt.models.cohere_asr import Model, ModelConfig
+
+    cfg = ModelConfig.from_dict(dict(
+        vocab_size=16384,
+        encoder=dict(feat_in=128, n_layers=48, d_model=1280, n_heads=8,
+                     ff_expansion_factor=4, subsampling_factor=8,
+                     subsampling_conv_channels=256, conv_kernel_size=9),
+        transf_decoder=dict(config_dict=dict(
+            hidden_size=1024, inner_size=4096, num_attention_heads=8,
+            num_layers=8, max_sequence_length=1024)),
+        head=dict(hidden_size=1024, num_classes=16384),
+        batch_size=8))
+    model = Model(cfg).init_and_bind()
+    model.astype(jnp.bfloat16)
+
+    class _Tok:
+        token2id = {s: i for i, s in enumerate(
+            ["<|startofcontext|>", "<|startoftranscript|>",
+             "<|emo:undefined|>", "<|en|>", "<|pnc|>", "<|nopnc|>",
+             "<|noitn|>", "<|notimestamp|>", "<|nodiarize|>",
+             "<|endoftext|>"])}
+        eos_id = token2id["<|endoftext|>"]
+
+        def decode(self, ids):
+            return " ".join(map(str, ids))
+
+    model._tokenizer = _Tok()
+    rng = np.random.RandomState(0)
+    audio_s = 600
+    audio = (rng.randn(audio_s * 16000) * 0.1).astype(np.float32)
+
+    # warmup on a short clip compiles (mel_bucket, batch_bucket) variants
+    model.generate(audio[: 16000 * 30], language="en", max_tokens=8)
+    t0 = time.perf_counter()
+    out = model.generate(audio, language="en", max_tokens=150)
+    wall = time.perf_counter() - t0
+    return {"xrt": round(audio_s / wall, 2), "wall_s": round(wall, 2),
+            "segments": len(out.segments),
+            "gen_tokens": out.generation_tokens,
+            "ref_m1max_xrt": 18.75}
+
+
 def main():
+    from mlx_audio_tpu import enable_compilation_cache
+
+    enable_compilation_cache()
     details = {}
     kok = bench_kokoro()
     details["kokoro_82m"] = kok
@@ -117,6 +169,13 @@ def main():
         details["qwen3_vs_target"] = round(q["xrt"] / 5.0, 3)
     except Exception as e:
         print(f"qwen3 bench failed: {e}", file=sys.stderr)
+    try:
+        c = bench_cohere_asr()
+        details["cohere_asr_10min"] = c
+        print(f"cohere_asr: {c}", file=sys.stderr)
+        details["cohere_vs_ref_m1max"] = round(c["xrt"] / 18.75, 3)
+    except Exception as e:
+        print(f"cohere_asr bench failed: {e}", file=sys.stderr)
     try:
         with open("BENCH_DETAILS.json", "w") as f:
             json.dump(details, f, indent=2)

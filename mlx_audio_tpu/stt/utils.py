@@ -34,6 +34,9 @@ MODEL_REMAPPING = {
     "glm_asr": "glmasr",
     "nemotron_asr": "nemotron_asr",
     "voxtral_realtime": "voxtral_realtime",
+    "cohere_asr": "cohere_asr",
+    "cohere": "cohere_asr",
+    "cohere2": "cohere_asr",
 }
 
 
