@@ -63,6 +63,28 @@ def generate_audio(
     import inspect
 
     sig_params = inspect.signature(model.generate).parameters
+
+    # normalize ref_audio path -> waveform; auto-transcribe missing ref_text
+    # (reference tts/generate.py:234-292)
+    if isinstance(ref_audio, (str, Path)):
+        from ..utils import load_audio
+
+        ref_audio = load_audio(str(ref_audio),
+                               sample_rate=model.sample_rate)
+        if ref_text is None and "ref_text" in sig_params:
+            if stt_model is None:
+                raise ValueError(
+                    "stt_model must be provided when ref_text is missing "
+                    "(used to transcribe ref_audio)")
+            if verbose:
+                print("Ref_text not found. Transcribing ref_audio...")
+            if isinstance(stt_model, str):
+                from ..stt.utils import load_model as load_stt
+
+                stt_model = load_stt(stt_model)
+            ref_text = stt_model.generate(ref_audio).text
+            if verbose:
+                print(f"Ref_text: {ref_text}")
     has_var_kw = any(p.kind == inspect.Parameter.VAR_KEYWORD
                      for p in sig_params.values())
     for k, v in dict(

@@ -54,7 +54,7 @@ MAX_CACHE_LEN = 4096
 HISTORY_LEN = 64
 FIRST_CHUNK = 8
 CHUNK_TOKENS = 25
-PROMPT_BUCKETS = (16, 32, 64, 128, 256, 512)
+PROMPT_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048)
 
 
 def _bucket(n, buckets):
@@ -105,14 +105,19 @@ class Model(FunctionalModel):
         Talker keys pass through (paths match); speech-tokenizer decoder keys
         get conv layout conversion + codebook reconstruction
         (embedding_sum / cluster_usage — reference speech_tokenizer.py:1438).
-        The encoder branch (voice-clone ICL input path) is dropped for now.
+        The encoder branch (ICL voice cloning) maps onto the shared Mimi tree
+        under speech_tokenizer.encoder; speaker_encoder.* maps onto the
+        functional ECAPA tree.
         """
         from ....nn.layers import convert_torch_conv_transpose_weight
+        from .speaker_encoder import sanitize_speaker_encoder
 
         out = {}
         codebooks: Dict[str, dict] = {}
+        out.update(self._sanitize_ref_encoder(weights))
+        out.update(sanitize_speaker_encoder(weights))
         for k, w in weights.items():
-            if k.startswith("encoder.") or ".encoder." in k.split("talker")[0]:
+            if k.startswith(("encoder.", "speaker_encoder.")):
                 continue
             if "_codebook.cluster_usage" in k or "_codebook.embedding_sum" in k:
                 base = k.rsplit("._codebook.", 1)[0]
@@ -139,6 +144,110 @@ class Model(FunctionalModel):
                 emb = data["embedding_sum"] / np.clip(
                     data["cluster_usage"][:, None], 1e-5, None)
                 out[f"{base}.codebook.embed.weight"] = jnp.asarray(emb)
+        return out
+
+    @staticmethod
+    def _sanitize_ref_encoder(weights) -> dict:
+        """encoder.* HF keys -> speech_tokenizer.encoder.<mimi tree>
+        (reference speech_tokenizer.py sanitize :1225-1444)."""
+        P = "speech_tokenizer.encoder."
+        seanet_conv_map = {
+            0: "encoder.init_conv1d.conv", 3: "encoder.layers.0.downsample.conv",
+            6: "encoder.layers.1.downsample.conv",
+            9: "encoder.layers.2.downsample.conv",
+            12: "encoder.layers.3.downsample.conv",
+            14: "encoder.final_conv1d.conv"}
+        residual_map = {1: 0, 4: 1, 7: 2, 10: 3}
+        block_map = {1: "0", 3: "1"}
+        out = {}
+        qkv: Dict[int, dict] = {}
+        cb: Dict[str, dict] = {}
+        for k, w in weights.items():
+            if not k.startswith("encoder."):
+                continue
+            w = jnp.asarray(w)
+            if k.startswith("encoder.encoder.layers."):
+                parts = k.split(".")
+                n = int(parts[3])
+                if "block" in k:
+                    if n not in residual_map or int(parts[5]) not in (1, 3):
+                        continue
+                    base = (f"encoder.layers.{residual_map[n]}.residuals.0."
+                            f"block.{block_map[int(parts[5])]}")
+                    suffix = parts[-1]          # weight / bias
+                else:
+                    if n not in seanet_conv_map:
+                        continue
+                    base = seanet_conv_map[n]
+                    suffix = parts[-1]
+                if suffix == "weight" and w.ndim == 3:
+                    w = jnp.transpose(w, (2, 1, 0))      # OIK -> KIO
+                out[f"{P}{base}.{suffix}"] = w
+            elif k.startswith("encoder.encoder_transformer.layers."):
+                parts = k.split(".")
+                li = int(parts[3])
+                rest = ".".join(parts[4:])
+                lbase = f"{P}encoder_transformer.transformer.layers.{li}"
+                if rest == "self_attn.q_proj.weight":
+                    qkv.setdefault(li, {})["q"] = w
+                elif rest == "self_attn.k_proj.weight":
+                    qkv.setdefault(li, {})["k"] = w
+                elif rest == "self_attn.v_proj.weight":
+                    qkv.setdefault(li, {})["v"] = w
+                elif rest == "self_attn.o_proj.weight":
+                    out[f"{lbase}.self_attn.out_proj.weight"] = w
+                elif rest == "mlp.fc1.weight":
+                    out[f"{lbase}.linear1.weight"] = w
+                elif rest == "mlp.fc2.weight":
+                    out[f"{lbase}.linear2.weight"] = w
+                elif rest.startswith("input_layernorm."):
+                    out[f"{lbase}.norm1.{parts[-1]}"] = w
+                elif rest.startswith("post_attention_layernorm."):
+                    out[f"{lbase}.norm2.{parts[-1]}"] = w
+                elif rest == "self_attn_layer_scale.scale":
+                    out[f"{lbase}.layer_scale_1.scale"] = w
+                elif rest == "mlp_layer_scale.scale":
+                    out[f"{lbase}.layer_scale_2.scale"] = w
+            elif k.startswith("encoder.downsample."):
+                suffix = k[len("encoder.downsample."):]
+                suffix = suffix.replace("conv.", "")
+                if suffix == "weight" and w.ndim == 3:
+                    w = jnp.transpose(w, (2, 1, 0))
+                out[f"{P}downsample.conv.conv.{suffix}"] = w
+            elif k.startswith("encoder.quantizer."):
+                rest = k[len("encoder.quantizer."):]
+                rvq = ("rvq_first" if "semantic_residual_vector_quantizer"
+                       in rest else "rvq_rest")
+                if ".codebook.cluster_usage" in rest or \
+                        ".codebook.embed_sum" in rest or \
+                        ".codebook.embedding_sum" in rest:
+                    import re as _re
+                    m = _re.search(r"layers\.(\d+)", rest)
+                    if m:
+                        base = f"{rvq}.{m.group(1)}"
+                        cb.setdefault(base, {})[
+                            "cluster_usage" if "cluster_usage" in rest
+                            else "embedding_sum"] = np.asarray(w)
+                elif ".codebook.initialized" in rest:
+                    continue
+                elif "input_proj.weight" in rest or "output_proj.weight" in rest:
+                    proj = ("input_proj" if "input_proj" in rest
+                            else "output_proj")
+                    if w.ndim == 3:
+                        w = jnp.transpose(w, (2, 1, 0))  # (O,I,1) -> (1,I,O)
+                    out[f"{P}quantizer.{rvq}.{proj}.weight"] = w
+        for li, d in qkv.items():
+            if {"q", "k", "v"} <= set(d):
+                out[f"{P}encoder_transformer.transformer.layers.{li}."
+                    f"self_attn.in_proj.weight"] = jnp.concatenate(
+                        [d["q"], d["k"], d["v"]], axis=0)
+        for base, data in cb.items():
+            if {"cluster_usage", "embedding_sum"} <= set(data):
+                rvq, li = base.split(".")
+                emb = data["embedding_sum"] / np.clip(
+                    data["cluster_usage"][:, None], 1e-5, None)
+                out[f"{P}quantizer.{rvq}.vq.layers.{li}.codebook."
+                    f"embed.weight"] = jnp.asarray(emb)
         return out
 
     @classmethod
@@ -193,8 +302,15 @@ class Model(FunctionalModel):
         text_ids: Optional[np.ndarray] = None,
         language: str = "auto",
         speaker: Optional[str] = None,
+        instruct: Optional[str] = None,
+        ref_audio: Optional[np.ndarray] = None,
     ) -> Tuple[Array, Array, Array]:
-        """-> (input_embeds (1, P, D), trailing_text (1, T, D), pad_embed)."""
+        """-> (input_embeds (1, P, D), trailing_text (1, T, D), pad_embed).
+
+        `instruct` (VoiceDesign/CustomVoice) prepends a user-role chat embed;
+        `ref_audio` derives the speaker x-vector instead of a speaker id
+        (reference _prepare_generation_inputs :326-482).
+        """
         cfg = self.config
         tcfg = self.tcfg
         if text_ids is None:
@@ -216,12 +332,20 @@ class Model(FunctionalModel):
 
         # speaker + language
         speaker_embed = None
-        if speaker and speaker.lower() in (tcfg.spk_id or {}):
+        if ref_audio is not None and self.has_speaker_encoder:
+            speaker_embed = self.extract_speaker_embedding(ref_audio)[:, None]
+        elif speaker and speaker.lower() in (tcfg.spk_id or {}):
             spk = np.asarray([[tcfg.spk_id[speaker.lower()]]]).reshape(1, 1)
             speaker_embed = self._codec_embed(spk)
         language_id = None
         if language.lower() != "auto" and (tcfg.codec_language_id or {}):
             language_id = tcfg.codec_language_id.get(language.lower())
+        # dialect override (reference :398-409)
+        if (language.lower() in ("chinese", "auto") and speaker
+                and (tcfg.spk_is_dialect or {}).get(speaker.lower())):
+            dialect = tcfg.spk_is_dialect[speaker.lower()]
+            if dialect in (tcfg.codec_language_id or {}):
+                language_id = tcfg.codec_language_id[dialect]
 
         if language_id is None:
             prefill = [tcfg.codec_nothink_id, tcfg.codec_think_bos_id,
@@ -243,11 +367,161 @@ class Model(FunctionalModel):
         pads = jnp.broadcast_to(tts_pad,
                                 (1, pad_count, tts_pad.shape[-1]))
         combined = jnp.concatenate([pads, tts_bos], axis=1) + codec_embed[:, :-1]
-        input_embeds = jnp.concatenate([role_embed, combined], axis=1)
+        parts = [role_embed, combined]
+        if instruct:
+            if self.tokenizer is None:
+                raise ValueError("instruct requires the text tokenizer")
+            instr_ids = np.asarray(self.tokenizer.encode(
+                f"<|im_start|>user\n{instruct}<|im_end|>\n")).reshape(1, -1)
+            parts.insert(0, self._embed_text_ids(instr_ids))
+        input_embeds = jnp.concatenate(parts, axis=1)
         first_text = text_embed[:, 3:4] + codec_embed[:, -1:]
         input_embeds = jnp.concatenate([input_embeds, first_text], axis=1)
         trailing = jnp.concatenate([text_embed[:, 4:-5], tts_eos], axis=1)
         return input_embeds, trailing, tts_pad
+
+    # ------------------------------------------------------------------
+    # voice cloning (ICL) — reference qwen3_tts.py:506-668, 2212
+    # ------------------------------------------------------------------
+
+    @property
+    def has_ref_encoder(self) -> bool:
+        return (self.params is not None
+                and "encoder" in self.params.get("speech_tokenizer", {}))
+
+    @property
+    def has_speaker_encoder(self) -> bool:
+        return self.params is not None and "speaker_encoder" in self.params
+
+    def _get_ref_encoder(self):
+        """Mimi-stack encoder bound to the checkpoint's encoder weights."""
+        enc = self._jit_cache.get("ref_encoder")
+        if enc is None:
+            if not self.has_ref_encoder:
+                raise ValueError(
+                    "this checkpoint has no speech-tokenizer encoder; "
+                    "ICL voice cloning is unavailable")
+            from ....codec.models.mimi.mimi import Mimi
+            from .speech_tokenizer import encoder_mimi_config
+
+            enc = Mimi(encoder_mimi_config(
+                self.config.tokenizer_config.encoder_config))
+            enc.bind(self.params["speech_tokenizer"]["encoder"])
+            self._jit_cache["ref_encoder"] = enc
+        return enc
+
+    def encode_ref_audio(self, ref_audio: np.ndarray) -> Array:
+        """waveform (24 kHz) -> codes (1, 16, T) — first 16 quantizers only
+        (reference encoder valid_num_quantizers)."""
+        valid_nq = self.config.tokenizer_config.encoder_valid_num_quantizers
+        codes = self._get_ref_encoder().encode(
+            np.asarray(ref_audio, np.float32).reshape(1, -1))
+        return codes[:, :valid_nq]
+
+    def extract_speaker_embedding(self, audio: np.ndarray) -> Array:
+        """Reference audio -> x-vector (1, enc_dim) via the ECAPA encoder."""
+        if not self.has_speaker_encoder:
+            raise ValueError("speaker encoder not available for this model")
+        from .speaker_encoder import speaker_encoder_forward, speaker_mel
+
+        mels = speaker_mel(audio, sample_rate=self.config.sample_rate)
+        fn = self._jit_cache.get("spk_enc")
+        if fn is None:
+            fn = jax.jit(lambda p, m: speaker_encoder_forward(
+                p["speaker_encoder"], self.config.speaker_encoder_config, m))
+            self._jit_cache["spk_enc"] = fn
+        return fn(self.params, jnp.asarray(mels))
+
+    def prepare_icl_inputs(
+        self,
+        text: str,
+        ref_audio: np.ndarray,
+        ref_text: str,
+        language: str = "auto",
+        ref_codes: Optional[Array] = None,
+    ) -> Tuple[Array, Array, Array, Array]:
+        """ICL voice-clone prompt (reference _prepare_icl_generation_inputs
+        :603-795): the reference transcript+target text (codec-pad overlaid)
+        followed by the reference audio's codec embeddings (tts-pad
+        overlaid), non-streaming layout."""
+        cfg, tcfg = self.config, self.tcfg
+        if self.tokenizer is None:
+            raise ValueError("ICL voice cloning requires the text tokenizer")
+
+        cache_key = ("icl_ref", ref_text, int(np.asarray(ref_audio).size),
+                     float(np.asarray(ref_audio).sum()))
+        cached = self._jit_cache.get(cache_key)
+        if cached is not None:
+            ref_codes, ref_text_ids = cached
+        else:
+            if ref_codes is None:
+                ref_codes = self.encode_ref_audio(ref_audio)
+            ref_ids = np.asarray(self.tokenizer.encode(
+                f"<|im_start|>assistant\n{ref_text}<|im_end|>\n"))
+            ref_text_ids = ref_ids[3:-2].reshape(1, -1)
+            self._jit_cache[cache_key] = (ref_codes, ref_text_ids)
+
+        target_ids = np.asarray(self.tokenizer.encode(
+            f"<|im_start|>assistant\n{text}<|im_end|>\n"
+            f"<|im_start|>assistant\n")).reshape(1, -1)
+        text_ids = target_ids[:, 3:-5]
+
+        tts_embeds = self._embed_text_ids(np.asarray(
+            [[cfg.tts_bos_token_id, cfg.tts_eos_token_id,
+              cfg.tts_pad_token_id]]))
+        tts_bos, tts_eos, tts_pad = (tts_embeds[:, 0:1], tts_embeds[:, 1:2],
+                                     tts_embeds[:, 2:3])
+
+        combined_ids = np.concatenate([ref_text_ids, text_ids], axis=1)
+        text_embed = jnp.concatenate(
+            [self._embed_text_ids(combined_ids), tts_eos], axis=1)
+        text_lens = text_embed.shape[1]
+
+        # codec side: bos + summed codebook embeddings of the ref codes
+        cp_emb = self.params["talker"]["code_predictor"]["model"][
+            "codec_embedding"]
+        ref_codec = self._codec_embed(np.asarray(ref_codes[:, 0]))
+        for gi in range(tcfg.num_code_groups - 1):
+            ref_codec = ref_codec + apply_embedding(
+                cp_emb[str(gi)], jnp.asarray(ref_codes[:, gi + 1]))
+        codec_bos = self._codec_embed(np.asarray([[tcfg.codec_bos_id]]))
+        codec_icl = jnp.concatenate([codec_bos, ref_codec], axis=1)
+        codec_lens = codec_icl.shape[1]
+
+        codec_pad = self._codec_embed(np.asarray([[tcfg.codec_pad_id]]))
+        text_part = text_embed + jnp.broadcast_to(
+            codec_pad, (1, text_lens, codec_pad.shape[-1]))
+        codec_part = codec_icl + jnp.broadcast_to(
+            tts_pad, (1, codec_lens, tts_pad.shape[-1]))
+        icl_embed = jnp.concatenate([text_part, codec_part], axis=1)
+
+        language_id = None
+        if language.lower() != "auto" and (tcfg.codec_language_id or {}):
+            language_id = tcfg.codec_language_id.get(language.lower())
+        if language_id is None:
+            prefill = [tcfg.codec_nothink_id, tcfg.codec_think_bos_id,
+                       tcfg.codec_think_eos_id]
+        else:
+            prefill = [tcfg.codec_think_id, tcfg.codec_think_bos_id,
+                       language_id, tcfg.codec_think_eos_id]
+        codec_prefix = self._codec_embed(np.asarray([prefill]))
+        suffix = self._codec_embed(
+            np.asarray([[tcfg.codec_pad_id, tcfg.codec_bos_id]]))
+        if self.has_speaker_encoder:
+            spk = self.extract_speaker_embedding(ref_audio).reshape(1, 1, -1)
+            codec_prefix = jnp.concatenate([codec_prefix, spk, suffix],
+                                           axis=1)
+        else:
+            codec_prefix = jnp.concatenate([codec_prefix, suffix], axis=1)
+
+        role_embed = self._embed_text_ids(target_ids[:, :3])
+        pad_count = codec_prefix.shape[1] - 2
+        pads = jnp.broadcast_to(tts_pad, (1, pad_count, tts_pad.shape[-1]))
+        combined = jnp.concatenate([pads, tts_bos], axis=1) \
+            + codec_prefix[:, :-1]
+        input_embeds = jnp.concatenate([role_embed, combined, icl_embed],
+                                       axis=1)
+        return input_embeds, tts_pad, tts_pad, ref_codes
 
     # ------------------------------------------------------------------
     # compiled generation machinery
@@ -393,6 +667,9 @@ class Model(FunctionalModel):
         voice: Optional[str] = None,
         speaker: Optional[str] = None,
         language: str = "auto",
+        instruct: Optional[str] = None,
+        ref_audio: Optional[np.ndarray] = None,
+        ref_text: Optional[str] = None,
         temperature: float = 0.9,
         top_k: int = 50,
         top_p: float = 1.0,
@@ -404,11 +681,30 @@ class Model(FunctionalModel):
         verbose: bool = False,
         **kwargs,
     ):
-        """Yield GenerationResult chunks (parity: reference generate :1138)."""
+        """Yield GenerationResult chunks (parity: reference generate :1138).
+
+        ref_audio+ref_text selects the ICL voice-cloning path (reference
+        _generate_icl :2212); ref_audio alone uses the x-vector speaker
+        embedding; instruct drives VoiceDesign/CustomVoice prompts.
+        """
         speaker = speaker or voice
         t_start = time.time()
-        input_embeds, trailing, pad_embed = self.prepare_inputs(
-            text=text, text_ids=text_ids, language=language, speaker=speaker)
+        icl = ref_audio is not None and ref_text is not None
+        ref_codes = None
+        if icl:
+            input_embeds, trailing, pad_embed, ref_codes = \
+                self.prepare_icl_inputs(text, ref_audio, ref_text,
+                                        language=language)
+        else:
+            if ref_audio is not None and not self.has_speaker_encoder:
+                raise ValueError(
+                    "ref_audio was passed but this checkpoint has no "
+                    "speaker encoder; pass ref_text as well for ICL voice "
+                    "cloning (requires the tokenizer encoder) or drop "
+                    "ref_audio")
+            input_embeds, trailing, pad_embed = self.prepare_inputs(
+                text=text, text_ids=text_ids, language=language,
+                speaker=speaker, instruct=instruct, ref_audio=ref_audio)
 
         plen = input_embeds.shape[1]
         pb = _bucket(plen, PROMPT_BUCKETS)
@@ -514,15 +810,130 @@ class Model(FunctionalModel):
         if n_valid == 0:
             return
         codes = np.concatenate(gen_codes, axis=0).T[None]  # (1, G, T)
+        ref_len = 0
+        if icl and ref_codes is not None:
+            # decode [ref; generated] then trim the reference portion
+            # proportionally (reference _generate_icl :2472-2492)
+            ref_np = np.asarray(ref_codes)
+            ref_len = ref_np.shape[-1]
+            codes = np.concatenate([ref_np, codes], axis=-1)
         fn = self._jit_cache.get(("codec_full", codes.shape[-1]))
         if fn is None:
             fn = jax.jit(lambda p, c: decode_full(
                 p["speech_tokenizer"]["decoder"], self.dcfg, c))
             self._jit_cache[("codec_full", codes.shape[-1])] = fn
         audio = np.asarray(fn(self.params, jnp.asarray(codes))[0])
+        if ref_len:
+            cut = int(ref_len / max(codes.shape[-1], 1) * audio.shape[0])
+            if 0 < cut < audio.shape[0]:
+                audio = audio[cut:]
         dur = len(audio) / self.sample_rate
         yield self._result(audio, 0, n_valid, time.time() - t_start, dur,
                            final=True)
+
+    # ------------------------------------------------------------------
+    # model-type wrappers + batch API
+    # ------------------------------------------------------------------
+
+    def generate_custom_voice(self, text: str, speaker: str,
+                              language: str = "auto",
+                              instruct: Optional[str] = None, **kwargs):
+        """CustomVoice variants: predefined speaker + optional style
+        instruction (reference generate_custom_voice :2074)."""
+        if self.config.tts_model_type != "custom_voice":
+            raise ValueError(
+                f"model type '{self.config.tts_model_type}' does not "
+                "support generate_custom_voice (need a CustomVoice "
+                "checkpoint)")
+        speakers = [s.lower() for s in self.get_supported_speakers()]
+        if speaker.lower() not in speakers:
+            raise ValueError(f"Speaker '{speaker}' not supported. "
+                             f"Available: {self.get_supported_speakers()}")
+        if self.config.tts_model_size == "0b6":
+            instruct = None
+        yield from self.generate(text, speaker=speaker, language=language,
+                                 instruct=instruct, **kwargs)
+
+    def generate_voice_design(self, text: str, instruct: str,
+                              language: str = "auto", **kwargs):
+        """VoiceDesign variants: the voice is described in natural language
+        (reference generate_voice_design :2151)."""
+        if self.config.tts_model_type != "voice_design":
+            raise ValueError(
+                f"model type '{self.config.tts_model_type}' does not "
+                "support generate_voice_design (need a VoiceDesign "
+                "checkpoint)")
+        yield from self.generate(text, language=language, instruct=instruct,
+                                 **kwargs)
+
+    def batch_generate(
+        self,
+        texts: List[str],
+        *,
+        speakers: Optional[List[Optional[str]]] = None,
+        language: str = "auto",
+        temperature: float = 0.9,
+        top_k: int = 50,
+        top_p: float = 1.0,
+        repetition_penalty: float = 1.05,
+        max_tokens: int = 1200,
+        seed: int = 0,
+        **kwargs,
+    ):
+        """Batched generation over the continuous-batching session
+        (reference batch_generate :1659 — left-padded batch prefill; here
+        the fixed-slot session machinery is reused so batch and serving
+        share one compiled step). Yields BatchGenerationResult per text in
+        input order."""
+        from ...continuous import TTSBatchOptions
+        from ..base import BatchGenerationResult
+        from .continuous_batching import Qwen3TTSBatchSession
+
+        t0 = time.time()
+
+        class _Req:
+            def __init__(self, idx):
+                self.request_id = f"batch-{idx}"
+                self.normalized_kwargs = {"language": language,
+                                          "speaker": (speakers[idx]
+                                                      if speakers else None)}
+                self.chunks: List[np.ndarray] = []
+                self.done = False
+                self.payload = texts[idx]
+
+            def emit_data(self, data):
+                self.chunks.append(np.asarray(data["audio"]))
+
+            def emit_error(self, err):
+                self.done = True
+
+            def emit_done(self):
+                self.done = True
+
+        options = TTSBatchOptions(
+            max_batch_size=len(texts), temperature=temperature, top_k=top_k,
+            top_p=top_p, repetition_penalty=repetition_penalty,
+            max_tokens=max_tokens)
+        session = Qwen3TTSBatchSession(self, options)
+        reqs = [_Req(i) for i in range(len(texts))]
+        for r in reqs:
+            session.submit(r)
+        steps = 0
+        while not session.idle and steps < max_tokens + 4:
+            session.step()
+            steps += 1
+        elapsed = time.time() - t0
+        for i, r in enumerate(reqs):
+            audio = (np.concatenate(r.chunks)
+                     if r.chunks else np.zeros((0,), np.float32))
+            dur = len(audio) / self.sample_rate
+            yield BatchGenerationResult(
+                audio=audio, sequence_idx=i, samples=len(audio),
+                sample_rate=self.sample_rate,
+                token_count=int(round(dur * 12.5)),
+                audio_duration=format_duration(dur),
+                processing_time_seconds=elapsed,
+                peak_memory_usage=peak_memory_gb())
 
     # -- first-step helper (samples from prefill logits) -------------------
 

@@ -449,3 +449,51 @@ def streaming_step(p: dict, cfg: Qwen3TTSTokenizerDecoderConfig, state: dict,
     h, ns["decoder"]["out_buf"] = causal_conv_step(
         d[str(len(cfg.upsample_rates) + 2)], h, state["decoder"]["out_buf"])
     return ns, jnp.clip(h[..., 0], -1.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# encoder (ICL voice cloning) — reuses the shared Mimi stack
+# ---------------------------------------------------------------------------
+
+def encoder_mimi_config(enc_cfg: Optional[dict]):
+    """Build a MimiConfig from the qwen3 tokenizer encoder_config dict.
+
+    The qwen3 speech-tokenizer encoder (reference speech_tokenizer.py:957 —
+    SeanetEncoder -> ProjectedTransformer -> ConvDownsample1d -> SplitRVQ) is
+    architecturally the Mimi encoder, so the repo's codec/models/mimi encode
+    path is reused with remapped config fields.
+    """
+    from ....codec.models.mimi.mimi import MimiConfig
+
+    e = dict(enc_cfg or {})
+    return MimiConfig(
+        channels=e.get("audio_channels", 1),
+        sample_rate=e.get("sampling_rate", 24000),
+        frame_rate=e.get("frame_rate", 12.5),
+        seanet=dict(
+            dimension=e.get("hidden_size", 512),
+            channels=e.get("audio_channels", 1),
+            nfilters=e.get("num_filters", 64),
+            nresidual_layers=e.get("num_residual_layers", 1),
+            ratios=e.get("upsampling_ratios", [8, 6, 5, 4]),
+            ksize=e.get("kernel_size", 7),
+            residual_ksize=e.get("residual_kernel_size", 3),
+            last_ksize=e.get("last_kernel_size", 3),
+            dilation_base=e.get("dilation_growth_rate", 2),
+            pad_mode="constant",
+            true_skip=not e.get("use_conv_shortcut", False),
+            compress=e.get("compress", 2),
+        ),
+        transformer=dict(
+            d_model=e.get("hidden_size", 512),
+            num_heads=e.get("num_attention_heads", 8),
+            num_layers=e.get("num_hidden_layers", 8),
+            layer_scale=e.get("layer_scale_initial_scale", 0.01),
+            context=e.get("sliding_window", 250),
+            max_period=float(e.get("rope_theta", 10000.0)),
+            dim_feedforward=e.get("intermediate_size", 2048),
+        ),
+        quantizer_nq=e.get("num_quantizers", 32),
+        quantizer_bins=e.get("codebook_size", 2048),
+        quantizer_dim=e.get("codebook_dim", 256),
+    )
