@@ -184,9 +184,15 @@ def _ffn(p: dict, x: Array) -> Array:
 
 
 def wav2vec2_forward(params: dict, cfg: ModelConfig, wave: Array,
-                     num_samples: Array) -> Tuple[Array, Array]:
+                     num_samples: Array,
+                     collect_hidden: bool = False) -> Tuple[Array, ...]:
     """(B, T) raw 16 kHz waveform (zero-mean/unit-var normalized by the
-    caller) -> ((B, F, hidden) hidden states, (B,) valid frame counts)."""
+    caller) -> ((B, F, hidden) hidden states, (B,) valid frame counts).
+
+    With collect_hidden=True also returns the list of per-layer hidden
+    states, HF-indexed (hidden_states[0] = pre-layer embeddings,
+    [i+1] = output of layer i) — the Spark-TTS BiCodec feature mixer
+    averages layers 11/14/16 of wav2vec2-large-xlsr-53."""
     feats, n = _feature_encoder(params, cfg, wave, num_samples)
     valid = jnp.arange(feats.shape[1])[None, :] < n[:, None]
     mask = valid.astype(feats.dtype)[..., None]
@@ -202,6 +208,7 @@ def wav2vec2_forward(params: dict, cfg: ModelConfig, wave: Array,
 
     bias_mask = jnp.where(valid, 0.0, jnp.finfo(x.dtype).min) \
         .astype(x.dtype)
+    hidden = [x] if collect_hidden else None
     for i in range(cfg.num_hidden_layers):
         lp = enc["layers"][str(i)]
         if cfg.do_stable_layer_norm:
@@ -228,9 +235,13 @@ def wav2vec2_forward(params: dict, cfg: ModelConfig, wave: Array,
             x = apply_layer_norm(lp["final_layer_norm"], x,
                                  eps=cfg.layer_norm_eps)
         x = x * mask
+        if collect_hidden:
+            hidden.append(x)
     if cfg.do_stable_layer_norm:
         x = apply_layer_norm(enc["layer_norm"], x,
                              eps=cfg.layer_norm_eps) * mask
+    if collect_hidden:
+        return x, n, hidden
     return x, n
 
 
