@@ -472,12 +472,34 @@ class Mimi(FunctionalModel):
         state["dec"]["final_buf"] = z(s.last_ksize - 1, s.nfilters)
         return state
 
+    def encode_to_latent(self, audio) -> Array:
+        """audio (B, 1, T)/(B, T)/(T,) -> pre-quantizer latents (B, F, D).
+
+        The pocket_tts voice-prompt path consumes these latents directly
+        (reference pocket_tts/mimi.py MimiAdapter.encode_to_latent)."""
+        audio = jnp.asarray(audio, jnp.float32)
+        if audio.ndim == 3:
+            audio = audio[:, 0]
+        elif audio.ndim == 1:
+            audio = audio[None]
+        x = self._encode_latent(audio[..., None])
+        x, _ = self._transformer(
+            self.params["encoder_transformer"]["transformer"], x)
+        x = _causal_conv(self.params["downsample"]["conv"]["conv"], x,
+                         2 * self.downsample_stride,
+                         stride=self.downsample_stride, pad_mode="edge")
+        return x
+
     def decode_step(self, state: dict, codes) -> Tuple[dict, Array]:
         """Streaming decode of (B, nq, T_new) codes -> (state, (B, 1, samp))."""
+        return self.decode_latent_step(state, self.quantizer_decode(
+            jnp.asarray(codes)))
+
+    def decode_latent_step(self, state: dict, x) -> Tuple[dict, Array]:
+        """Streaming decode of latent frames (B, T_new, D) — the post-
+        quantizer decode path (upsample -> transformer -> seanet)."""
         s = self.config.seanet
-        codes = jnp.asarray(codes)
         ns: dict = {"dec": {"layers": {}}}
-        x = self.quantizer_decode(codes)
         x, ns["up_overflow"] = _tconv_step(
             self.params["upsample"]["convtr"]["convtr"], x,
             state["up_overflow"], 2 * self.downsample_stride,

@@ -1,0 +1,3 @@
+from .pocket_tts import Model, ModelConfig
+
+__all__ = ["Model", "ModelConfig"]

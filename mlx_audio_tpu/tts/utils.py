@@ -33,6 +33,8 @@ MODEL_REMAPPING = {
     "chatterbox": "chatterbox",
     "melotts": "melotts",
     "vits": "melotts",
+    "pocket_tts": "pocket_tts",
+    "pocket": "pocket_tts",
 }
 
 
