@@ -16,7 +16,6 @@ this package (Silero VAD, Whisper STT, llama LM, Kokoro/Kitten TTS).
 
 from __future__ import annotations
 
-import queue
 import threading
 import time
 from concurrent.futures import ThreadPoolExecutor
@@ -53,6 +52,39 @@ class VadConfig:
     stop_threshold: float = 0.35
     min_silence_ms: float = 600.0
     preroll_ms: float = 300.0
+    # a shorter pause that asks the smart-turn model whether the turn is
+    # semantically complete (reference voice_pipeline.py:1140-1162)
+    candidate_silence_ms: float = 240.0
+    # echo-correlation barge-in guard (reference :544-565,711)
+    ignore_playback_echo_ms: float = 400.0
+    echo_correlation_threshold: float = 0.55
+    echo_delay_min_ms: float = 40.0
+    echo_delay_max_ms: float = 400.0
+    echo_correlation_step_ms: float = 32.0
+    echo_window_ms: float = 320.0
+
+
+@dataclass
+class EndpointDecision:
+    complete: bool
+    probability: float
+
+
+class SmartTurnEndpointDetector:
+    """Semantic end-of-turn classifier wrapper
+    (reference voice_pipeline.py:287-306)."""
+
+    def __init__(self, model, *, sample_rate: int = SAMPLE_RATE,
+                 threshold: Optional[float] = None):
+        self.model = model
+        self.sample_rate = sample_rate
+        self.threshold = threshold
+
+    def predict(self, audio: np.ndarray) -> EndpointDecision:
+        result = self.model.predict_endpoint(
+            audio, sample_rate=self.sample_rate, threshold=self.threshold)
+        return EndpointDecision(complete=bool(result.prediction),
+                                probability=float(result.probability))
 
 
 class SileroVoiceActivityDetector:
@@ -65,32 +97,44 @@ class SileroVoiceActivityDetector:
         self.state = None
         self.in_speech = False
         self.silence_ms = 0.0
+        self._candidate_fired = False
 
     def process(self, frame: np.ndarray):
-        """One 512-sample frame -> (prob, started, stopped)."""
+        """One 512-sample frame -> (prob, started, stopped, candidate).
+
+        `candidate` fires once per pause when silence exceeds
+        candidate_silence_ms (smart-turn check point) before the full
+        min_silence_ms stop."""
         prob_arr, self.state = self.model.feed(frame, self.state)
         prob = float(np.asarray(prob_arr).reshape(-1)[0])
         frame_ms = 1000.0 * len(frame) / SAMPLE_RATE
-        started = stopped = False
+        started = stopped = candidate = False
         if not self.in_speech:
             if prob >= self.config.start_threshold:
                 self.in_speech = True
                 self.silence_ms = 0.0
+                self._candidate_fired = False
                 started = True
         elif prob < self.config.stop_threshold:
             self.silence_ms += frame_ms
+            if (not self._candidate_fired
+                    and self.silence_ms >= self.config.candidate_silence_ms):
+                self._candidate_fired = True
+                candidate = True
             if self.silence_ms >= self.config.min_silence_ms:
                 self.in_speech = False
                 self.silence_ms = 0.0
                 stopped = True
         else:
             self.silence_ms = 0.0
-        return prob, started, stopped
+            self._candidate_fired = False
+        return prob, started, stopped, candidate
 
     def reset(self):
         self.state = None
         self.in_speech = False
         self.silence_ms = 0.0
+        self._candidate_fired = False
 
 
 class LocalLLMResponseEngine:
@@ -157,23 +201,36 @@ class VoicePipeline:
         llm_engine: Optional[LocalLLMResponseEngine] = None,
         tts_model=None,
         tts_voice: Optional[str] = None,
+        smart_turn_model=None,
         on_event: Optional[Callable[[str, dict], None]] = None,
         vad_config: VadConfig = VadConfig(),
+        clock: Optional[Callable[[], float]] = None,
     ):
+        from .audio_player import AudioOutputStream
+
         self.scheduler = DeviceWorkScheduler()
         self.vad = (SileroVoiceActivityDetector(vad_model, vad_config)
                     if vad_model is not None else None)
+        self.vad_config = vad_config
         self.stt = stt_model
         self.llm = llm_engine or LocalLLMResponseEngine(None)
         self.tts = tts_model
         self.tts_voice = tts_voice
+        self.endpoint_detector = (
+            SmartTurnEndpointDetector(smart_turn_model)
+            if smart_turn_model is not None else None)
         self.on_event = on_event or (lambda kind, data: None)
+        self.clock = clock or time.monotonic
         self.history: List[dict] = []
         self._buffer = np.zeros(0, np.float32)
         self._turn_audio = np.zeros(0, np.float32)
         self._preroll = np.zeros(0, np.float32)
-        self._speech_out: "queue.Queue[np.ndarray]" = queue.Queue()
+        self.audio_output = AudioOutputStream(
+            sample_rate=(getattr(tts_model, "sample_rate", SAMPLE_RATE)
+                         if tts_model is not None else SAMPLE_RATE),
+            clock=self.clock)
         self._speaking = threading.Event()
+        self._input_ms = 0.0  # running mic clock (ms of audio consumed)
 
     # -- input path ----------------------------------------------------------
 
@@ -187,13 +244,19 @@ class VoicePipeline:
             self._process_frame(frame)
 
     def _process_frame(self, frame: np.ndarray) -> None:
+        self._input_ms += 1000.0 * len(frame) / SAMPLE_RATE
         if self.vad is None:
             self._turn_audio = np.concatenate([self._turn_audio, frame])
             return
-        prob, started, stopped = self.vad.process(frame)
+        prob, started, stopped, candidate = self.vad.process(frame)
         if started:
-            # barge-in: cancel current speech when the user starts talking
-            if self._speaking.is_set():
+            # barge-in: cancel current speech when the user starts talking —
+            # unless the "speech" is our own playback echoing back
+            if self._playing_now():
+                if self._looks_like_echo(frame):
+                    self.on_event("echo_suppressed", {})
+                    self.vad.in_speech = False
+                    return
                 self._handle_barge_in()
             self._turn_audio = self._preroll.copy()
             self.on_event("speech_started", {})
@@ -205,15 +268,46 @@ class VoicePipeline:
         if stopped:
             self.on_event("speech_stopped", {})
             self.finalize_turn()
+        elif candidate and self.endpoint_detector is not None:
+            decision = self.scheduler.run(
+                self.endpoint_detector.predict, self._turn_audio)
+            self.on_event("endpoint_candidate",
+                          {"complete": decision.complete,
+                           "probability": decision.probability})
+            if decision.complete:
+                # semantic end of turn: finalize without waiting out the
+                # full min_silence window (reference :1148-1162)
+                self.vad.in_speech = False
+                self.vad.silence_ms = 0.0
+                self.on_event("speech_stopped", {"early": True})
+                self.finalize_turn()
+
+    def _playing_now(self) -> bool:
+        state = self.audio_output.playback_state()
+        if self._speaking.is_set() or state["player_playing"]:
+            return True
+        age = state.get("last_output_age_ms")
+        return age is not None and \
+            -50.0 <= age <= self.vad_config.ignore_playback_echo_ms
+
+    def _looks_like_echo(self, frame: np.ndarray) -> bool:
+        """Correlate recent mic input against our own output history
+        (reference :544-565,711-726)."""
+        win = int(SAMPLE_RATE * self.vad_config.echo_window_ms / 1000)
+        recent = np.concatenate([self._preroll, frame])[-win:]
+        best = self.audio_output.echo_correlation(
+            recent, input_sample_rate=SAMPLE_RATE,
+            input_end_ms=self.clock() * 1000.0,
+            min_delay_ms=self.vad_config.echo_delay_min_ms,
+            max_delay_ms=self.vad_config.echo_delay_max_ms,
+            step_ms=self.vad_config.echo_correlation_step_ms)
+        return best["correlation"] >= \
+            self.vad_config.echo_correlation_threshold
 
     def _handle_barge_in(self) -> None:
         """Stop speaking and drop queued speech (reference :1207-1246)."""
         self._speaking.clear()
-        try:
-            while True:
-                self._speech_out.get_nowait()
-        except queue.Empty:
-            pass
+        self.audio_output.stop()
         self.on_event("barge_in", {})
 
     # -- turn handling -------------------------------------------------------
@@ -247,18 +341,15 @@ class VoicePipeline:
                 lambda: list(self.tts.generate(text, **kwargs))):
             if not self._speaking.is_set():
                 break  # barged in
-            self._speech_out.put(np.asarray(result.audio))
+            self.audio_output.queue_audio(np.asarray(result.audio))
         self._speaking.clear()
 
     # -- output path ---------------------------------------------------------
 
     def fetch_speech(self, timeout: float = 0.0) -> Optional[np.ndarray]:
-        """Pull the next synthesized speech chunk (headless speaker)."""
-        try:
-            return self._speech_out.get(timeout=timeout) if timeout \
-                else self._speech_out.get_nowait()
-        except queue.Empty:
-            return None
+        """Pull the next synthesized speech chunk (headless speaker); the
+        chunk is stamped into the output history for echo rejection."""
+        return self.audio_output.fetch_chunk(timeout=timeout)
 
     def run_microphone(self):  # pragma: no cover - needs audio hardware
         """Live mic loop via sounddevice (reference main :1380)."""
@@ -283,6 +374,7 @@ def main(argv=None):  # pragma: no cover - interactive entry point
     parser.add_argument("--stt-model", default=None)
     parser.add_argument("--tts-model", default=None)
     parser.add_argument("--vad-model", default=None)
+    parser.add_argument("--smart-turn-model", default=None)
     parser.add_argument("--voice", default=None)
     args = parser.parse_args(argv)
     from ..utils import load_model
@@ -291,6 +383,8 @@ def main(argv=None):  # pragma: no cover - interactive entry point
         vad_model=load_model(args.vad_model) if args.vad_model else None,
         stt_model=load_model(args.stt_model) if args.stt_model else None,
         tts_model=load_model(args.tts_model) if args.tts_model else None,
+        smart_turn_model=(load_model(args.smart_turn_model)
+                          if args.smart_turn_model else None),
         tts_voice=args.voice,
         on_event=lambda kind, data: print(f"[{kind}] {data}"),
     )
