@@ -37,6 +37,8 @@ MODEL_REMAPPING = {
     "cohere_asr": "cohere_asr",
     "cohere": "cohere_asr",
     "cohere2": "cohere_asr",
+    "qwen3_forced_aligner": "qwen3_forced_aligner",
+    "forced_aligner": "qwen3_forced_aligner",
 }
 
 
