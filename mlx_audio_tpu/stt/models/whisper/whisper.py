@@ -495,15 +495,17 @@ class Model(FunctionalModel):
             self._detect_language_cached(mel) if self.is_multilingual else "en")
         tokenizer = self.get_tokenizer(language=language, task=task)
 
+        temperatures = ([temperature] if isinstance(temperature, (int, float))
+                        else list(temperature))
         task_runner = DecodingTask(
             self, DecodingOptions(
                 task=task, language=language,
                 without_timestamps=not return_timestamps,
+                # options.temperature is validation/metadata only; the
+                # fallback ladder passes the actual value into run()
+                temperature=max(temperatures),
                 **{k: v for k, v in decode_options.items()
                    if k in DecodingOptions.__dataclass_fields__}))
-
-        temperatures = ([temperature] if isinstance(temperature, (int, float))
-                        else list(temperature))
 
         all_tokens: List[int] = []
         all_segments: List[dict] = []

@@ -122,3 +122,50 @@ class TestGenerate:
         assert "decoder.token_embedding.weight" in out
         assert out["encoder.conv1.weight"].shape == (3, 4, 8)
         assert "proj_out.weight" not in out
+
+
+class TestBeamSearch:
+    def test_beam1_matches_greedy(self, model, mel):
+        g = DecodingTask(model, DecodingOptions(language="en",
+                                                sample_len=10))
+        b = DecodingTask(model, DecodingOptions(language="en", sample_len=10,
+                                                beam_size=1))
+        rg = g.run(mel, prompt=[], temperature=0.0)
+        rb = b.run(mel, prompt=[], temperature=0.0)
+        assert rb.tokens == rg.tokens
+
+    def test_beam5_never_worse_than_greedy(self, model, mel):
+        g = DecodingTask(model, DecodingOptions(language="en",
+                                                sample_len=10))
+        b = DecodingTask(model, DecodingOptions(language="en", sample_len=10,
+                                                beam_size=5))
+        rg = g.run(mel, prompt=[], temperature=0.0)
+        rb = b.run(mel, prompt=[], temperature=0.0)
+        # beam explores a superset of greedy's path: total logprob of the
+        # returned beam must be >= the greedy sequence's
+        lp_g = rg.avg_logprob * (len(rg.tokens) + 1)
+        lp_b = rb.avg_logprob * (len(rb.tokens) + 1)
+        assert lp_b >= lp_g - 1e-3
+        assert len(rb.tokens) >= 1
+
+    def test_beam_deterministic(self, model, mel):
+        b = DecodingTask(model, DecodingOptions(language="en", sample_len=8,
+                                                beam_size=3))
+        r1 = b.run(mel, prompt=[], temperature=0.0)
+        r2 = b.run(mel, prompt=[], temperature=0.0)
+        assert r1.tokens == r2.tokens
+
+    def test_best_of_sampling(self, model, mel):
+        b = DecodingTask(model, DecodingOptions(language="en", sample_len=8,
+                                                best_of=3, temperature=0.7))
+        r = b.run(mel, prompt=[], temperature=0.7)
+        assert isinstance(r.tokens, list)
+        assert np.isfinite(r.avg_logprob)
+
+    def test_option_validation(self, model):
+        with pytest.raises(ValueError):
+            DecodingTask(model, DecodingOptions(beam_size=3, best_of=3))
+        with pytest.raises(ValueError):
+            DecodingTask(model, DecodingOptions(best_of=3, temperature=0.0))
+        with pytest.raises(ValueError):
+            DecodingTask(model, DecodingOptions(patience=2.0))
