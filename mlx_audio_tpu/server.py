@@ -183,6 +183,10 @@ class SeparationExecutionAdapter(BaseModelExecutionAdapter):
         if not hasattr(model, "separate"):
             raise ValueError(
                 f"Model {request.model_name} has no separate() API")
+        if getattr(getattr(model, "config", None), "model_type", "") \
+                == "sam_audio":
+            self._run_sam_audio(request, model)
+            return
         audio, sr = request.payload
         target_sr = getattr(getattr(model, "config", None), "sample_rate",
                             sr)
@@ -205,6 +209,37 @@ class SeparationExecutionAdapter(BaseModelExecutionAdapter):
 
         request.emit_data({"target": b64(target), "residual": b64(residual),
                            "sample_rate": result.sample_rate})
+        request.emit_done()
+
+    def _run_sam_audio(self, request: InferenceRequest, model) -> None:
+        """Text-guided separation via sam_audio.separate_long
+        (reference server.py:788-795)."""
+        import base64
+
+        audio, sr = request.payload
+        kw = request.normalized_kwargs
+        x = np.asarray(audio, np.float32)
+        if x.ndim > 1:
+            x = x.mean(axis=0)
+        target_sr = model.sample_rate
+        if sr != target_sr:
+            from .utils import resample_audio
+
+            x = np.asarray(resample_audio(x, sr, target_sr))
+        steps = max(int(kw.get("steps", 16)), 1)
+        res = model.separate_long(
+            x[None, None], [kw.get("description", "speech")],
+            ode_opt={"step_size": 1.0 / steps,
+                     "method": kw.get("method", "midpoint")})
+
+        def b64(a):
+            return base64.b64encode(
+                _encode_wav(np.asarray(a, np.float32).reshape(-1),
+                            target_sr)).decode()
+
+        request.emit_data({"target": b64(res.target[0]),
+                           "residual": b64(res.residual[0]),
+                           "sample_rate": target_sr})
         request.emit_done()
 
 
