@@ -1,0 +1,4 @@
+from .chatterbox_turbo import Model, ModelConfig, T3Turbo, T3TurboConfig
+from .gpt2 import GPT2Config
+
+__all__ = ["Model", "ModelConfig", "T3Turbo", "T3TurboConfig", "GPT2Config"]

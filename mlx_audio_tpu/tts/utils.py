@@ -31,6 +31,8 @@ MODEL_REMAPPING = {
     "vibevoice": "vibevoice",
     "vibevoice_streaming": "vibevoice",
     "chatterbox": "chatterbox",
+    "chatterbox_turbo": "chatterbox_turbo",
+    "chatterboxturbo": "chatterbox_turbo",
     "melotts": "melotts",
     "vits": "melotts",
     "pocket_tts": "pocket_tts",
