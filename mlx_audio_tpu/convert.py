@@ -80,24 +80,22 @@ def convert(
     mlx_path: str = "mlx_model",
     dtype: str = "bfloat16",
     quantize: bool = False,
-    q_group_size: int = 64,
+    q_group_size: Optional[int] = None,
     q_bits: int = 4,
     q_mode: str = "affine",
+    quant_predicate: Optional[str] = None,
     domain: Optional[str] = None,
     upload_repo: Optional[str] = None,
 ) -> Path:
     """Convert a checkpoint: load through the domain loader (sanitize +
-    layout conversion), optionally quantize, and save safetensors +
+    layout conversion), optionally quantize (affine int-N, microscaling
+    mxfp4/nvfp4/mxfp8, or a mixed_L_H recipe), and save safetensors +
     config.json runnable by this package (reference convert.py:544-744)."""
     import jax
     import jax.numpy as jnp
     from safetensors.numpy import save_file
 
     from .utils import flatten, get_model_path, load_config
-
-    if q_mode != "affine":
-        print(f"Warning: quant mode '{q_mode}' has no TPU kernel; using the "
-              f"affine int{q_bits} group scheme instead.")
 
     model_path = get_model_path(hf_path)
     config = load_config(model_path)
@@ -110,11 +108,27 @@ def convert(
 
     params = model.params
     if quantize:
-        from .ops.quant import maybe_quantize_tree
+        from .ops.quant import (FP_MODE_DEFAULTS, maybe_quantize_tree,
+                                mixed_quant_predicate)
 
-        params = maybe_quantize_tree(params, q_group_size, q_bits)
-        config["quantization"] = {"group_size": q_group_size, "bits": q_bits,
-                                  "mode": "affine"}
+        gs = q_group_size or FP_MODE_DEFAULTS.get(q_mode, 64)
+        predicate = None
+        if quant_predicate:
+            predicate = mixed_quant_predicate(quant_predicate)
+        model_pred = getattr(model, "model_quant_predicate", None)
+        if model_pred is not None:
+            inner = predicate
+
+            def predicate(p, w, _inner=inner):  # noqa: E306
+                if not model_pred(p, w):
+                    return False
+                return _inner(p, w) if _inner is not None else True
+
+        params = maybe_quantize_tree(params, gs, q_bits, predicate,
+                                     mode=q_mode)
+        config["quantization"] = {
+            "group_size": gs, "bits": q_bits, "mode": q_mode,
+            **({"recipe": quant_predicate} if quant_predicate else {})}
     # cast remaining float leaves
     params = jax.tree.map(
         lambda x: x.astype(target_dtype)
@@ -167,9 +181,12 @@ def main(argv=None):
     parser.add_argument("--dtype", default="bfloat16",
                         choices=MODEL_CONVERSION_DTYPES)
     parser.add_argument("-q", "--quantize", action="store_true")
-    parser.add_argument("--q-group-size", type=int, default=64)
+    parser.add_argument("--q-group-size", type=int, default=None)
     parser.add_argument("--q-bits", type=int, default=4)
     parser.add_argument("--q-mode", default="affine", choices=QUANT_MODES)
+    parser.add_argument("--quant-predicate", default=None,
+                        choices=QUANT_RECIPES,
+                        help="Mixed-bit quantization recipe.")
     parser.add_argument("--domain", default=None,
                         choices=[d.value for d in Domain])
     parser.add_argument("--upload-repo", default=None)
@@ -177,7 +194,8 @@ def main(argv=None):
     convert(
         hf_path=args.hf_path, mlx_path=args.mlx_path, dtype=args.dtype,
         quantize=args.quantize, q_group_size=args.q_group_size,
-        q_bits=args.q_bits, q_mode=args.q_mode, domain=args.domain,
+        q_bits=args.q_bits, q_mode=args.q_mode,
+        quant_predicate=args.quant_predicate, domain=args.domain,
         upload_repo=args.upload_repo)
 
 

@@ -64,6 +64,10 @@ def apply_linear(params: dict, x: Array) -> Array:
         from ..ops.quant import qmatmul
 
         return qmatmul(params, x)
+    if "w_fp4" in params or "w_fp8" in params:
+        from ..ops.quant import fp_matmul
+
+        return fp_matmul(params, x)
     y = jnp.einsum("...i,oi->...o", x, params["weight"])
     if "bias" in params:
         y = y + params["bias"]

@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 Array = jax.Array
@@ -84,6 +85,105 @@ def qmatmul(params: dict, x: Array) -> Array:
     return y
 
 
+# ---------------------------------------------------------------------------
+# Microscaling FP formats (OCP MX / NVIDIA FP4) — reference convert.py:22-23
+# ---------------------------------------------------------------------------
+
+# E2M1 magnitude table; code = sign<<3 | magnitude index
+_FP4_VALUES = np.array([0.0, 0.5, 1.0, 1.5, 2.0, 3.0, 4.0, 6.0], np.float32)
+FP_MODE_DEFAULTS = {"mxfp4": 32, "nvfp4": 16, "mxfp8": 32}
+
+
+def _fp4_encode(g: Array) -> Array:
+    """float (..., gs) -> uint8 e2m1 codes (nearest-value)."""
+    sign = (g < 0).astype(jnp.uint8)
+    mag = jnp.abs(g)
+    table = jnp.asarray(_FP4_VALUES)
+    idx = jnp.argmin(jnp.abs(mag[..., None] - table), axis=-1).astype(
+        jnp.uint8)
+    return (sign << 3) | idx
+
+
+def _fp4_decode(codes: Array, dtype=jnp.float32) -> Array:
+    table = jnp.asarray(_FP4_VALUES, dtype)
+    mag = table[(codes & 7).astype(jnp.int32)]
+    return jnp.where((codes >> 3) > 0, -mag, mag)
+
+
+def quantize_weight_fp(w: Array, mode: str,
+                       group_size: Optional[int] = None) -> dict:
+    """Quantize (out, in) to a microscaling FP format.
+
+    mxfp4 / mxfp8: per-group power-of-two (E8M0) shared scale;
+    nvfp4: per-group FP8-E4M3 scale. Codes are stored one-per-byte
+    (uint8 e2m1) or as float8_e4m3fn; dequant fuses into the consuming
+    matmul on TPU exactly like the affine path.
+    """
+    if mode not in FP_MODE_DEFAULTS:
+        raise ValueError(f"unknown fp quant mode: {mode}")
+    gs = group_size or FP_MODE_DEFAULTS[mode]
+    out_f, in_f = w.shape
+    assert in_f % gs == 0, (in_f, gs)
+    g = w.reshape(out_f, in_f // gs, gs).astype(jnp.float32)
+    amax = jnp.max(jnp.abs(g), axis=-1)
+    if mode == "nvfp4":
+        scales = (amax / 6.0).astype(jnp.float8_e4m3fn).astype(jnp.float32)
+        scales = jnp.maximum(scales, 2.0 ** -20)
+        codes = _fp4_encode(g / scales[..., None])
+        return {"w_fp4": codes.reshape(out_f, in_f),
+                "scales": scales}
+    # MX: scale = 2^(floor(log2(amax)) - emax_elem)
+    emax = 2.0 if mode == "mxfp4" else 8.0
+    exp = jnp.floor(jnp.log2(jnp.maximum(amax, 2.0 ** -126))) - emax
+    scales = jnp.exp2(jnp.clip(exp, -127, 127))
+    if mode == "mxfp4":
+        codes = _fp4_encode(g / scales[..., None])
+        return {"w_fp4": codes.reshape(out_f, in_f), "scales": scales}
+    # saturating conversion (OCP MX spec): e4m3 max-normal is 448
+    q = jnp.clip(g / scales[..., None], -448.0, 448.0) \
+        .astype(jnp.float8_e4m3fn)
+    # stored as a uint8 bitcast (safetensors has no float8 numpy dtype)
+    q = jax.lax.bitcast_convert_type(q, jnp.uint8)
+    return {"w_fp8": q.reshape(out_f, in_f), "scales": scales}
+
+
+def _fp8_decode(codes: Array, dtype=jnp.float32) -> Array:
+    return jax.lax.bitcast_convert_type(
+        codes, jnp.float8_e4m3fn).astype(dtype)
+
+
+def dequantize_weight_fp(params: dict, dtype=jnp.float32) -> Array:
+    if "w_fp4" in params:
+        q = _fp4_decode(params["w_fp4"], dtype)
+    else:
+        q = _fp8_decode(params["w_fp8"], dtype)
+    out_f, in_f = q.shape
+    gs = in_f // params["scales"].shape[1]
+    qg = q.reshape(out_f, in_f // gs, gs)
+    w = qg * params["scales"][..., None].astype(dtype)
+    return w.reshape(out_f, in_f)
+
+
+def fp_matmul(params: dict, x: Array) -> Array:
+    """x (..., in) @ dequant(w)^T [+ bias] — scale contraction stays
+    factored so XLA fuses the dequant into the matmul."""
+    if "w_fp4" in params:
+        q = _fp4_decode(params["w_fp4"], x.dtype)
+    else:
+        q = _fp8_decode(params["w_fp8"], x.dtype)
+    out_f, in_f = q.shape
+    ng = params["scales"].shape[1]
+    gs = in_f // ng
+    xg = x.reshape(x.shape[:-1] + (ng, gs))
+    qg = q.reshape(out_f, ng, gs)
+    xq = jnp.einsum("...gi,ogi->...og", xg, qg)
+    y = jnp.einsum("...og,og->...o", xq,
+                   params["scales"].astype(x.dtype))
+    if "bias" in params:
+        y = y + params["bias"].astype(x.dtype)
+    return y
+
+
 def unpack_mlx_quantized(
     weight: Array, scales: Array, biases: Array, group_size: int = 64
 ) -> dict:
@@ -135,13 +235,17 @@ def maybe_quantize_tree(
     bits: int = 4,
     predicate=None,
     path: str = "",
+    mode: str = "affine",
 ):
     """Recursively quantize every linear-like {'weight': (out,in)} leaf dict.
 
-    predicate(path, weight) -> bool gates per-layer quantization, mirroring
-    the reference's class_predicate (utils.py:224-248). Embeddings and convs
-    are skipped (ndim != 2 or vocab-shaped), as are layers whose input dim is
-    not divisible by group_size.
+    predicate(path, weight) -> bool | int gates per-layer quantization,
+    mirroring the reference's class_predicate (utils.py:224-248); an int
+    return overrides the bit width for that layer (mixed recipes,
+    reference convert.py:22). mode selects affine int-N or a microscaling
+    FP format (mxfp4/nvfp4/mxfp8). Embeddings and convs are skipped
+    (ndim != 2 or vocab-shaped), as are layers whose input dim is not
+    divisible by group_size.
 
     Pre-quantized MLX checkpoints (uint32-packed `weight` + sibling
     `scales`/`biases`) are unpacked into the native w_q layout instead of
@@ -162,21 +266,59 @@ def maybe_quantize_tree(
             q.update(rest)
             return q
         if "weight" in params and isinstance(params["weight"], jax.Array) \
-                and params["weight"].ndim == 2 and "w_q" not in params:
+                and params["weight"].ndim == 2 and "w_q" not in params \
+                and "w_fp4" not in params and "w_fp8" not in params:
             w = params["weight"]
             leaf = path.rsplit(".", 1)[-1].lower()
             is_embedding = any(tag in leaf for tag in
                                ("embed", "codebook", "positional"))
-            ok = w.shape[1] % group_size == 0 and not is_embedding
-            if ok and (predicate is None or predicate(path, w)):
-                q = quantize_weight(w, group_size, bits)
+            gs = group_size if mode == "affine" \
+                else FP_MODE_DEFAULTS.get(mode, group_size)
+            ok = w.shape[1] % gs == 0 and not is_embedding
+            verdict = True if predicate is None else predicate(path, w)
+            if ok and verdict:
+                if mode == "affine":
+                    layer_bits = verdict if isinstance(verdict, int) \
+                        and not isinstance(verdict, bool) else bits
+                    q = quantize_weight(w, gs, layer_bits)
+                else:
+                    q = quantize_weight_fp(w, mode, gs)
                 rest = {k: v for k, v in params.items() if k != "weight"}
                 q.update(rest)
                 return q
             return params
         return {
             k: maybe_quantize_tree(v, group_size, bits, predicate,
-                                   f"{path}.{k}" if path else k)
+                                   f"{path}.{k}" if path else k, mode)
             for k, v in params.items()
         }
     return params
+
+
+def mixed_quant_predicate(recipe: str):
+    """Mixed-bit recipe predicate (reference convert.py:22 QUANT_RECIPES,
+    mirroring mlx_lm's mixed_quant_predicate_builder): `mixed_L_H` uses
+    H bits for quality-sensitive layers (embeddings/heads, the first and
+    last transformer layer, and every 6th layer's down/o projections) and
+    L bits everywhere else."""
+    import re
+
+    try:
+        low, high = (int(x) for x in recipe.split("_")[1:3])
+    except (ValueError, IndexError):
+        raise ValueError(f"unknown quant recipe: {recipe!r} "
+                         "(expected e.g. 'mixed_3_6')")
+
+    def predicate(path: str, w) -> int:
+        p = path.lower()
+        if any(t in p for t in ("embed", "lm_head", "head")):
+            return high
+        m = re.search(r"layers\.(\d+)\.", p)
+        if m:
+            idx = int(m.group(1))
+            if idx == 0 or idx % 6 == 5:
+                if "down_proj" in p or "o_proj" in p or "out_proj" in p:
+                    return high
+        return low
+
+    return predicate
