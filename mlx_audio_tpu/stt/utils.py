@@ -34,6 +34,9 @@ MODEL_REMAPPING = {
     "glm_asr": "glmasr",
     "nemotron_asr": "nemotron_asr",
     "voxtral_realtime": "voxtral_realtime",
+    "voxtral": "voxtral",
+    "qwen2_audio": "qwen2_audio",
+    "qwen2audio": "qwen2_audio",
     "cohere_asr": "cohere_asr",
     "cohere": "cohere_asr",
     "cohere2": "cohere_asr",
