@@ -268,13 +268,20 @@ def base_load_model(
     model_remapping: dict,
     dtype=None,
     strict: bool = False,
+    tensor_parallel: Optional[int] = None,
     **kwargs,
 ):
     """The 10-step loader pipeline (reference utils.py:321-416), functional:
 
     resolve path -> config -> model_type remap -> ModelConfig.from_dict ->
     Model(config) -> sanitize(weights) -> [quantize] -> bind params ->
-    device put -> post_load_hook.
+    device put [optionally TP-sharded] -> post_load_hook.
+
+    tensor_parallel=N shards attention/MLP weights over an N-way "tp" mesh
+    axis (parallel/sharding.py rules). Every jitted step the model builds
+    then runs sharded — XLA propagates the NamedShardings from the params
+    through prefill/decode, inserting the ICI collectives. The reference is
+    single-device (SURVEY §2.10); this is the TPU-native scale-out path.
     """
     from . import enable_compilation_cache
 
@@ -333,6 +340,21 @@ def base_load_model(
     if not pre_converted:
         quant_pred = getattr(model, "model_quant_predicate", None)
         params = apply_quantization(params, config, weights, quant_pred)
+
+    if tensor_parallel and tensor_parallel > 1:
+        import jax
+
+        from .parallel import make_mesh, shard_params
+
+        n = len(jax.devices())
+        if n % tensor_parallel:
+            raise ValueError(
+                f"tensor_parallel={tensor_parallel} does not divide the "
+                f"{n} available devices")
+        mesh = make_mesh((n // tensor_parallel, tensor_parallel),
+                         ("dp", "tp"))
+        params = shard_params(params, mesh)
+        model._mesh = mesh
 
     model.bind(params, strict=strict)
 
