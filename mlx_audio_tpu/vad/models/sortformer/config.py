@@ -53,6 +53,14 @@ class ModulesConfig(BaseModelArgs):
     chunk_right_context: int = 1
     sil_threshold: float = 0.1
     use_aosc: bool = False
+    # AOSC (v2.1) compression parameters (reference config.py:69-86)
+    spkcache_sil_frames_per_spk: int = 5
+    pred_score_threshold: float = 1e-6
+    max_index: int = 10000
+    scores_boost_latest: float = 0.5
+    strong_boost_rate: float = 0.3
+    weak_boost_rate: float = 0.7
+    min_pos_scores_rate: float = 0.5
 
 
 @dataclass

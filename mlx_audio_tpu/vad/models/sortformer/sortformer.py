@@ -10,8 +10,10 @@ sigmoid speaker heads (:641-688), segments extraction with
 threshold/min-duration/merge-gap (:1832-1900), energy silence trimming
 (:1908-1967), the spkcache/fifo streaming state machine with the v1
 highest-activity compression (:906-1500, :1801-1829), and the
-layers_N / conv-layout sanitize (:2013-2065). AOSC (v2.1) compression is
-roadmap.
+layers_N / conv-layout sanitize (:2013-2065), and the v2.1 AOSC
+(arrival-order speaker cache) compression: LLR frame scoring, overlap
+masking, strong/weak top-k boosting, per-speaker silence padding, and the
+running silence profile (reference :1505-1799).
 
 TPU design: the whole features -> FastConformer -> transformer -> sigmoid
 pipeline is one jitted program per mel-frame bucket with a validity mask;
@@ -424,6 +426,109 @@ class StreamingState:
     fifo: np.ndarray
     fifo_preds: np.ndarray
     frames_processed: int = 0
+    # AOSC silence profile (v2.1)
+    mean_sil_emb: Optional[np.ndarray] = None   # (1, emb)
+    n_sil_frames: float = 0.0
+
+
+# ---------------------------------------------------------------------------
+# AOSC (Arrival-Order Speaker Cache) compression — v2.1
+# (reference sortformer.py:1505-1799; pure numpy host logic between
+# compiled steps — the arrays are tiny (<=400 frames))
+# ---------------------------------------------------------------------------
+
+def _log_pred_scores(preds: np.ndarray, threshold: float) -> np.ndarray:
+    """Per-frame per-speaker LLR scores: high when speaker k is
+    confidently active alone."""
+    lp = np.log(np.clip(preds, threshold, None))
+    l1p = np.log(np.clip(1.0 - preds, threshold, None))
+    return lp - l1p + l1p.sum(axis=2, keepdims=True) - math.log(0.5)
+
+
+def _disable_low_scores(preds: np.ndarray, scores: np.ndarray,
+                        min_pos: int) -> np.ndarray:
+    scores = np.where(preds > 0.5, scores, -np.inf)
+    is_pos = scores > 0
+    has_enough = is_pos.sum(axis=1, keepdims=True) >= min_pos
+    kill = (~is_pos) & (preds > 0.5) & has_enough
+    return np.where(kill, -np.inf, scores)
+
+
+def _boost_topk_scores(scores: np.ndarray, n_boost: int,
+                       scale: float = 1.0) -> np.ndarray:
+    if n_boost <= 0:
+        return scores
+    b, n, s = scores.shape
+    k = min(n_boost, n)
+    boost = -scale * math.log(0.5)
+    out = scores.copy()
+    for spk in range(s):
+        flat = scores[:, :, spk]
+        idx = np.argpartition(-flat, k - 1, axis=1)[:, :k]
+        finite = np.isfinite(np.take_along_axis(flat, idx, axis=1))
+        for bi in range(b):
+            out[bi, idx[bi][finite[bi]], spk] += boost
+    return out
+
+
+def _aosc_topk_indices(scores: np.ndarray, spkcache_len: int,
+                       sil_per_spk: int, max_index: int):
+    b, n, s = scores.shape
+    n_no_sil = n - sil_per_spk
+    flat = np.transpose(scores, (0, 2, 1)).reshape(b, -1)
+    k = min(spkcache_len, flat.shape[1])
+    idx = np.argpartition(-flat, k - 1, axis=1)[:, :k]
+    vals = np.take_along_axis(flat, idx, axis=1)
+    idx = np.where(vals > -np.inf, idx, max_index)
+    idx = np.sort(idx, axis=1)
+    disabled = idx == max_index
+    idx = idx % n
+    disabled = disabled | (idx >= n_no_sil)
+    idx = np.where(disabled, 0, idx)
+    return idx, disabled
+
+
+def _silence_profile(mean_sil: np.ndarray, n_sil: float, embs: np.ndarray,
+                     preds: np.ndarray, thr: float):
+    is_sil = preds.sum(axis=2) < thr                   # (1, n)
+    count = float(is_sil.sum())
+    sil_sum = (embs * is_sil[..., None]).sum(axis=1)   # (1, emb)
+    total = mean_sil * n_sil + sil_sum
+    n2 = n_sil + count
+    return total / max(n2, 1.0), n2
+
+
+def compress_spkcache_aosc(embs: np.ndarray, preds: np.ndarray,
+                           mean_sil_emb: np.ndarray, mc) -> tuple:
+    """Keep the most informative frames per speaker (v2.1 AOSC)."""
+    n_spk = mc.num_speakers
+    sil_per_spk = mc.spkcache_sil_frames_per_spk
+    per_spk = mc.spkcache_len // n_spk - sil_per_spk
+    scores = _log_pred_scores(preds, mc.pred_score_threshold)
+    scores = _disable_low_scores(
+        preds, scores, math.floor(per_spk * mc.min_pos_scores_rate))
+    if mc.scores_boost_latest > 0 and scores.shape[1] > mc.spkcache_len:
+        scores[:, mc.spkcache_len:, :] = np.where(
+            np.isfinite(scores[:, mc.spkcache_len:, :]),
+            scores[:, mc.spkcache_len:, :] + mc.scores_boost_latest,
+            scores[:, mc.spkcache_len:, :])
+    scores = _boost_topk_scores(
+        scores, math.floor(per_spk * mc.strong_boost_rate), 2.0)
+    scores = _boost_topk_scores(
+        scores, math.floor(per_spk * mc.weak_boost_rate), 1.0)
+    if sil_per_spk > 0:
+        pad = np.full((scores.shape[0], sil_per_spk, n_spk), np.inf)
+        scores = np.concatenate([scores, pad], axis=1)
+    idx, disabled = _aosc_topk_indices(scores, mc.spkcache_len,
+                                       sil_per_spk, mc.max_index)
+    g_embs = np.take_along_axis(
+        embs, idx[..., None].repeat(embs.shape[2], -1), axis=1)
+    g_embs = np.where(disabled[..., None], mean_sil_emb[:, None, :],
+                      g_embs)
+    g_preds = np.take_along_axis(
+        preds, idx[..., None].repeat(preds.shape[2], -1), axis=1)
+    g_preds = np.where(disabled[..., None], 0.0, g_preds)
+    return g_embs, g_preds
 
 
 class Model(FunctionalModel):
@@ -578,18 +683,38 @@ class Model(FunctionalModel):
         if state.fifo.shape[1] <= fifo_max:
             return state
         pop = state.fifo.shape[1] - fifo_max
-        cache = np.concatenate([state.spkcache, state.fifo[:, :pop]], 1)
-        cache_preds = np.concatenate(
-            [state.spkcache_preds, state.fifo_preds[:, :pop]], 1)
+        if mc.use_aosc:
+            # v2.1 transfers FIFO overflow in update-period batches and
+            # maintains the running silence profile (reference :1429-1503)
+            pop = min(pop, mc.spkcache_update_period)
+        popped = state.fifo[:, :pop]
+        popped_preds = state.fifo_preds[:, :pop]
+        mean_sil = state.mean_sil_emb
+        n_sil = state.n_sil_frames
+        if mc.use_aosc:
+            if mean_sil is None:
+                mean_sil = np.zeros((1, state.fifo.shape[2]), np.float32)
+            mean_sil, n_sil = _silence_profile(
+                mean_sil, n_sil, popped, popped_preds, mc.sil_threshold)
+        cache = np.concatenate([state.spkcache, popped], 1)
+        cache_preds = np.concatenate([state.spkcache_preds, popped_preds],
+                                     1)
         if cache.shape[1] > mc.spkcache_len:
-            # v1: keep frames with the highest total speaker activity
-            scores = np.log(np.clip(cache_preds[0], 1e-7, 1.0)).sum(-1)
-            top = np.sort(np.argsort(-scores)[: mc.spkcache_len])
-            cache = cache[:, top]
-            cache_preds = cache_preds[:, top]
+            if mc.use_aosc:
+                cache, cache_preds = compress_spkcache_aosc(
+                    cache, cache_preds,
+                    mean_sil if mean_sil is not None else
+                    np.zeros((1, cache.shape[2]), np.float32), mc)
+            else:
+                # v1: keep frames with the highest total speaker activity
+                scores = np.log(np.clip(cache_preds[0], 1e-7, 1.0)).sum(-1)
+                top = np.sort(np.argsort(-scores)[: mc.spkcache_len])
+                cache = cache[:, top]
+                cache_preds = cache_preds[:, top]
         return StreamingState(cache, cache_preds, state.fifo[:, pop:],
                               state.fifo_preds[:, pop:],
-                              state.frames_processed)
+                              state.frames_processed,
+                              mean_sil_emb=mean_sil, n_sil_frames=n_sil)
 
     def generate_stream(self, audio, *, sample_rate: int = 16000,
                         threshold: float = 0.5,
@@ -598,9 +723,14 @@ class Model(FunctionalModel):
         assembled DiarizationOutput."""
         proc = self.config.processor_config
         wav = self._load_audio(audio, sample_rate)
-        wav, trim_off = trim_silence(wav, proc.sampling_rate)
-        wav = wav / (np.abs(wav).max() + 1e-3)
-        mel = extract_mel_features(wav, proc)
+        if self.config.modules_config.use_aosc:
+            # v2.1 skips silence trimming + peak norm (reference :1117-1131)
+            trim_off = 0
+            mel = extract_mel_features(wav, proc, normalize=False)
+        else:
+            wav, trim_off = trim_silence(wav, proc.sampling_rate)
+            wav = wav / (np.abs(wav).max() + 1e-3)
+            mel = extract_mel_features(wav, proc)
 
         mc = self.config.modules_config
         chunk_frames = mc.chunk_len * mc.subsampling_factor

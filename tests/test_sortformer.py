@@ -183,3 +183,72 @@ class TestSanitize:
         again = model.sanitize(out)
         assert again["fc_encoder.subsampling.layers_0.weight"].shape \
             == (3, 3, 1, 4)
+
+
+class TestAOSC:
+    def _aosc_model(self):
+        cfg = _cfg()
+        mc = cfg.modules_config
+        mc.use_aosc = True
+        mc.spkcache_len = 12
+        mc.spkcache_update_period = 8
+        mc.spkcache_sil_frames_per_spk = 1
+        return Model(cfg).init_and_bind()
+
+    def test_silence_profile_update(self):
+        from mlx_audio_tpu.vad.models.sortformer.sortformer import (
+            _silence_profile)
+
+        embs = np.ones((1, 4, 6), np.float32)
+        embs[0, 2:] = 3.0
+        preds = np.zeros((1, 4, 3), np.float32)
+        preds[0, 2:] = 0.9        # frames 2,3 are speech
+        mean, n = _silence_profile(np.zeros((1, 6), np.float32), 0.0,
+                                   embs, preds, 0.1)
+        assert n == 2.0
+        np.testing.assert_allclose(mean, np.ones((1, 6)), atol=1e-6)
+
+    def test_aosc_compression_shapes_and_selection(self):
+        from mlx_audio_tpu.vad.models.sortformer.sortformer import (
+            compress_spkcache_aosc)
+
+        cfg = _cfg()
+        mc = cfg.modules_config
+        mc.use_aosc = True
+        mc.spkcache_len = 12
+        mc.spkcache_sil_frames_per_spk = 1
+        rng = np.random.RandomState(0)
+        n = 40
+        embs = rng.randn(1, n, 16).astype(np.float32)
+        preds = np.full((1, n, 3), 0.01, np.float32)
+        # speaker 0 confidently alone on frames 0-9, spk 1 on 10-19
+        preds[0, 0:10, 0] = 0.95
+        preds[0, 10:20, 1] = 0.95
+        mean_sil = np.zeros((1, 16), np.float32)
+        c_embs, c_preds = compress_spkcache_aosc(embs, preds, mean_sil, mc)
+        assert c_embs.shape == (1, 12, 16)
+        assert c_preds.shape == (1, 12, 3)
+        # both active speakers keep representation
+        assert (c_preds[0, :, 0] > 0.5).sum() >= 2
+        assert (c_preds[0, :, 1] > 0.5).sum() >= 2
+
+    def test_streaming_with_aosc_bounds_cache(self):
+        m = self._aosc_model()
+        mc = m.config.modules_config
+        state = m.init_streaming_state()
+        rng = np.random.RandomState(5)
+        for _ in range(5):
+            mel = rng.randn(64, 16).astype(np.float32)
+            preds, state = m.streaming_step(mel, state)
+        assert state.spkcache.shape[1] <= mc.spkcache_len
+        assert state.mean_sil_emb is not None
+        assert np.isfinite(state.spkcache).all()
+
+    def test_generate_stream_aosc(self):
+        m = self._aosc_model()
+        sr = 16000
+        wav = (0.2 * np.random.RandomState(6).randn(3 * sr)) \
+            .astype(np.float32)
+        chunks = list(m.generate_stream(wav, chunk_seconds=1.0))
+        from mlx_audio_tpu.vad.models.sortformer import DiarizationOutput
+        assert isinstance(chunks[-1], DiarizationOutput)
