@@ -22,7 +22,7 @@ MODEL_REMAPPING = {
     "sesame": "sesame",
     "higgs": "higgs_audio_v3",
     "higgs_audio_v3": "higgs_audio_v3",
-    "higgs_audio": "higgs_audio_v3",
+    "higgs_audio": "higgs_audio",
     "bark": "bark",
     "dia": "dia",
     "spark": "spark",
