@@ -1,0 +1,3 @@
+from .fireredasr2 import Model, ModelConfig
+
+__all__ = ["Model", "ModelConfig"]

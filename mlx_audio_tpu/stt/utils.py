@@ -42,6 +42,11 @@ MODEL_REMAPPING = {
     "cohere2": "cohere_asr",
     "qwen3_forced_aligner": "qwen3_forced_aligner",
     "forced_aligner": "qwen3_forced_aligner",
+    "lasr": "lasr_ctc",
+    "lasr_ctc": "lasr_ctc",
+    "fireredasr2": "fireredasr2",
+    "firered_asr2": "fireredasr2",
+    "fireredasr": "fireredasr2",
 }
 
 
