@@ -1,0 +1,3 @@
+from .granite_speech import Model, ModelConfig
+
+__all__ = ["Model", "ModelConfig"]

@@ -47,6 +47,8 @@ MODEL_REMAPPING = {
     "fireredasr2": "fireredasr2",
     "firered_asr2": "fireredasr2",
     "fireredasr": "fireredasr2",
+    "granite_speech": "granite_speech",
+    "granite": "granite_speech",
 }
 
 

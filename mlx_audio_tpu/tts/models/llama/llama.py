@@ -53,6 +53,12 @@ class ModelConfig(BaseModelArgs):
     attention_bias: bool = False
     tie_word_embeddings: bool = False
     model_path: str = ""
+    # Granite-style scale hooks (reference granite_speech/config.py TextConfig)
+    # — defaults are exact no-ops for every other consumer of this backbone.
+    embedding_multiplier: float = 1.0
+    residual_multiplier: float = 1.0
+    attention_multiplier: Optional[float] = None
+    logits_scaling: float = 1.0
 
     @property
     def resolved_head_dim(self) -> int:
@@ -117,7 +123,8 @@ def _attn_block(p, cfg: ModelConfig, x, positions, inv_freq,
         new_cache = kv_update(caches, k, v, offset)
         if t == 1:
             out = decode_attention(q, new_cache.k, new_cache.v,
-                                   offset + 1, lengths_mask=mask)
+                                   offset + 1, lengths_mask=mask,
+                                   scale=cfg.attention_multiplier)
         else:
             # prefill against the cache window [0, offset + t)
             s = new_cache.k.shape[1]
@@ -127,9 +134,11 @@ def _attn_block(p, cfg: ModelConfig, x, positions, inv_freq,
             add_mask = jnp.where(causal_m & valid, 0.0, -jnp.inf)
             if mask is not None:
                 add_mask = add_mask + mask[:, None, None, :]
-            out = attention(q, new_cache.k, new_cache.v, mask=add_mask)
+            out = attention(q, new_cache.k, new_cache.v, mask=add_mask,
+                            scale=cfg.attention_multiplier)
     else:
-        out = attention(q, k, v, mask=mask, causal=causal)
+        out = attention(q, k, v, mask=mask, causal=causal,
+                        scale=cfg.attention_multiplier)
     out = out.reshape(b, t, cfg.num_attention_heads * hd)
     return apply_linear(p["o_proj"], out), new_cache
 
@@ -163,6 +172,10 @@ def llama_forward(
         x = apply_embedding(m["embed_tokens"], tokens_or_embeds)
     else:
         x = tokens_or_embeds
+    if cfg.embedding_multiplier != 1.0:
+        # granite multiplies after any audio-embed splice (reference
+        # granite_speech.py:455-457), so embeds input is scaled too
+        x = x * cfg.embedding_multiplier
     b, t = x.shape[:2]
     if positions is None:
         positions = offset + jnp.arange(t)[None, :]
@@ -176,10 +189,12 @@ def llama_forward(
             caches[i] if caches is not None else None, offset, mask, causal)
         if new_caches is not None:
             new_caches.append(nc)
-        x = x + attn_out
+        rm = cfg.residual_multiplier
+        x = x + (attn_out if rm == 1.0 else attn_out * rm)
         h = apply_rms_norm(layer["post_attention_layernorm"], x,
                            cfg.rms_norm_eps)
-        x = x + _mlp(layer["mlp"], h)
+        mlp_out = _mlp(layer["mlp"], h)
+        x = x + (mlp_out if rm == 1.0 else mlp_out * rm)
     if final_norm:
         x = apply_rms_norm(m["norm"], x, cfg.rms_norm_eps)
     return x, new_caches
@@ -187,9 +202,13 @@ def llama_forward(
 
 def logits_from_hidden(params: dict, cfg: ModelConfig, hidden: Array) -> Array:
     if "lm_head" in params:
-        return apply_linear(params["lm_head"], hidden)
-    return jnp.einsum("btd,vd->btv", hidden,
-                      params["model"]["embed_tokens"]["weight"])
+        lg = apply_linear(params["lm_head"], hidden)
+    else:
+        lg = jnp.einsum("btd,vd->btv", hidden,
+                        params["model"]["embed_tokens"]["weight"])
+    if cfg.logits_scaling != 1.0:
+        lg = lg / cfg.logits_scaling
+    return lg
 
 
 def init_caches(cfg: ModelConfig, batch: int, max_len: int,
