@@ -49,6 +49,9 @@ MODEL_REMAPPING = {
     "fireredasr": "fireredasr2",
     "granite_speech": "granite_speech",
     "granite": "granite_speech",
+    "fun_asr_nano": "fun_asr_nano",
+    "funasr_nano": "fun_asr_nano",
+    "fun_asr": "fun_asr_nano",
 }
 
 
