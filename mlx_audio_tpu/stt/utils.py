@@ -52,6 +52,8 @@ MODEL_REMAPPING = {
     "fun_asr_nano": "fun_asr_nano",
     "funasr_nano": "fun_asr_nano",
     "fun_asr": "fun_asr_nano",
+    "vibevoice_asr": "vibevoice_asr",
+    "vibevoiceasr": "vibevoice_asr",
 }
 
 
