@@ -231,7 +231,69 @@ class Model(FunctionalModel):
 
     # -- public --------------------------------------------------------------
 
-    def generate(self, audio, **kwargs) -> STTOutput:
+    def _seconds_per_frame(self) -> float:
+        return HOP * self.enc_args.subsampling_factor / SAMPLE_RATE
+
+    def _decode_window(self, audio: np.ndarray, t_offset: float):
+        """Decode one audio window -> list[AlignedToken] at absolute time.
+
+        Ref parakeet.py:147-162 (decode -> AlignedResult per window).
+        """
+        from ..nemo import AlignedToken
+
+        enc = self.encode(audio)
+        if self.config.decoding == "ctc":
+            tokens, frames = self.decode_ctc(enc)
+        else:
+            tokens, frames = self.decode_tdt(enc)
+        spf = self._seconds_per_frame()
+        vocab = self.config.vocabulary
+        out = []
+        for tok, f in zip(tokens, frames):
+            text = (vocab[tok].replace("▁", " ")
+                    if vocab and 0 <= tok < len(vocab) else str(tok))
+            out.append(AlignedToken(
+                id=tok, text=text, start=t_offset + f * spf, duration=spf))
+        return out
+
+    def transcribe_chunked(self, audio: np.ndarray,
+                           chunk_duration: float = 120.0,
+                           overlap_duration: float = 15.0,
+                           chunk_callback=None):
+        """Long-audio transcription: overlapping windows merged by token
+        alignment (ref parakeet.py:164-260 + nemo/alignment.py).
+
+        Returns an :class:`~..nemo.AlignedResult`.
+        """
+        from ..nemo import (merge_longest_common_subsequence,
+                            merge_longest_contiguous, sentences_to_result,
+                            tokens_to_sentences)
+
+        chunk = int(chunk_duration * SAMPLE_RATE)
+        overlap = int(overlap_duration * SAMPLE_RATE)
+        if overlap >= chunk:
+            raise ValueError("overlap_duration must be < chunk_duration")
+        merged = []
+        for start in range(0, max(len(audio), 1), chunk - overlap):
+            end = min(start + chunk, len(audio))
+            piece = self._decode_window(audio[start:end], start / SAMPLE_RATE)
+            if chunk_callback is not None:
+                chunk_callback(end, len(audio))
+            if not merged:
+                merged = piece
+            else:
+                try:
+                    merged = merge_longest_contiguous(
+                        merged, piece, overlap_duration=overlap_duration)
+                except RuntimeError:
+                    merged = merge_longest_common_subsequence(
+                        merged, piece, overlap_duration=overlap_duration)
+            if end >= len(audio):
+                break
+        return sentences_to_result(tokens_to_sentences(merged))
+
+    def generate(self, audio, chunk_duration=None, overlap_duration=15.0,
+                 chunk_callback=None, **kwargs) -> STTOutput:
         import time as _t
 
         t0 = _t.time()
@@ -239,13 +301,28 @@ class Model(FunctionalModel):
             from ...utils import load_audio
 
             audio = np.asarray(load_audio(audio, sample_rate=SAMPLE_RATE))
+        audio = np.asarray(audio)
+        long_audio = (chunk_duration is not None
+                      and len(audio) > chunk_duration * SAMPLE_RATE)
+        if long_audio:
+            result = self.transcribe_chunked(
+                audio, chunk_duration=chunk_duration,
+                overlap_duration=overlap_duration,
+                chunk_callback=chunk_callback)
+            segments = [{"start": round(s.start, 2), "end": round(s.end, 2),
+                         "text": s.text.strip()} for s in result.sentences]
+            n_tokens = sum(len(s.tokens) for s in result.sentences)
+            wall = _t.time() - t0
+            return STTOutput(
+                text=result.text, segments=segments, language="en",
+                generation_tokens=n_tokens, total_time=wall,
+                generation_tps=n_tokens / wall if wall else 0.0)
         enc = self.encode(audio)
         if self.config.decoding == "ctc":
             tokens, frames = self.decode_ctc(enc)
         else:
             tokens, frames = self.decode_tdt(enc)
-        sub = self.enc_args.subsampling_factor
-        spf = HOP * sub / SAMPLE_RATE  # seconds per encoder frame
+        spf = self._seconds_per_frame()
         segments = [{"start": round(f * spf, 2),
                      "end": round((f + 1) * spf, 2),
                      "text": self._detokenize([t])}
