@@ -37,6 +37,12 @@ MODEL_REMAPPING = {
     "vits": "melotts",
     "pocket_tts": "pocket_tts",
     "pocket": "pocket_tts",
+    "moss_tts": "moss_tts",
+    "moss_tts_delay": "moss_tts_delay",
+    "moss_ttsd": "moss_tts_delay",
+    "moss_tts_local": "moss_tts_local",
+    "moss_tts_nano": "moss_tts_nano",
+    "mosstts": "moss_tts",
 }
 
 
