@@ -54,6 +54,9 @@ MODEL_REMAPPING = {
     "fun_asr": "fun_asr_nano",
     "vibevoice_asr": "vibevoice_asr",
     "vibevoiceasr": "vibevoice_asr",
+    "moss_transcribe_diarize": "moss_transcribe_diarize",
+    "moss_transcribe": "moss_transcribe_diarize",
+    "moss_music": "moss_music",
 }
 
 
