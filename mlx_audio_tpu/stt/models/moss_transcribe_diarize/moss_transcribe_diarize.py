@@ -133,9 +133,11 @@ def init_whisper_encoder(key, a: AudioConfig) -> dict:
         "layer_norm": init_layer_norm(d)}
 
 
-def whisper_encoder_forward(p: dict, a: AudioConfig, mel: Array,
-                            valid: Optional[Array] = None) -> Array:
-    """(B, T, n_mels) -> (B, T//2, d)."""
+def whisper_encoder_forward(p: dict, a, mel: Array,
+                            valid: Optional[Array] = None,
+                            final_pool2: bool = False) -> Array:
+    """(B, T, n_mels) -> (B, T//2, d) (or T//4 with final_pool2, used by
+    higgs_audio_3's mean-pool-by-2 before the final LayerNorm)."""
     x = jax.nn.gelu(apply_conv1d(p["conv1"], mel, padding=1),
                     approximate=False)
     x = jax.nn.gelu(apply_conv1d(p["conv2"], x, stride=2, padding=1),
@@ -162,6 +164,9 @@ def whisper_encoder_forward(p: dict, a: AudioConfig, mel: Array,
         x = x + apply_linear(blk["fc2"],
                              jax.nn.gelu(apply_linear(blk["fc1"], h),
                                          approximate=False))
+    if final_pool2:
+        x = x[:, :(x.shape[1] // 2) * 2].reshape(
+            b, x.shape[1] // 2, 2, d).mean(axis=2)
     return apply_layer_norm(p["layer_norm"], x)
 
 

@@ -57,6 +57,10 @@ MODEL_REMAPPING = {
     "moss_transcribe_diarize": "moss_transcribe_diarize",
     "moss_transcribe": "moss_transcribe_diarize",
     "moss_music": "moss_music",
+    "higgs_audio_3": "higgs_audio_3",
+    "higgs_audio3": "higgs_audio_3",
+    "granite_speech_nar": "granite_speech_nar",
+    "granitespeech_nar": "granite_speech_nar",
 }
 
 
