@@ -43,18 +43,28 @@ def make_decode_fns(
     bucket: int,
     max_new: int = 2048,
     temperature: float = 0.0,
+    top_p: float = 1.0,
+    top_k: int = 0,
     eos_ids: Tuple[int, ...] = (),
+    repetition_penalty: float = 1.0,
+    repetition_context_size: int = 20,
 ):
     """Build (prefill, chunk) jitted fns.
 
     forward_fn(params, embeds, caches, offset, pad_mask) -> (hidden, caches)
     logits_fn(params, hidden) -> logits
+
+    With repetition_penalty != 1, the chunk carries a rolling
+    (1, repetition_context_size) history of recent tokens in-graph.
     """
     tc = text_config
     cap = bucket + max_new
-    sampler = make_sampler(temperature=temperature)
+    sampler = make_sampler(temperature=temperature, top_p=top_p,
+                           top_k=top_k,
+                           repetition_penalty=repetition_penalty)
     eos = jnp.asarray(eos_ids or (0,), jnp.int32)
     has_eos = bool(eos_ids)
+    use_rep = repetition_penalty != 1.0
 
     def prefill(p, embeds, length):
         caches = [KVCache.init(1, cap, tc.num_key_value_heads, tc.head_dim,
@@ -67,38 +77,47 @@ def make_decode_fns(
         last = jax.lax.dynamic_slice_in_dim(hidden, idx, 1, axis=1)
         return logits_fn(p, last)[:, 0], caches
 
-    def chunk(p, lg, caches, t0, rng, done):
+    def chunk(p, lg, caches, t0, rng, done, history=None):
+        if history is None:
+            history = jnp.full((1, max(repetition_context_size, 1)), -1,
+                               jnp.int32)
+
         def body(carry, i):
-            lg, caches, key, done = carry
+            lg, caches, key, done, hist = carry
             key, sub = jax.random.split(key)
-            tok = sampler(sub, lg).astype(jnp.int32)
+            tok = sampler(sub, lg, hist if use_rep else None) \
+                .astype(jnp.int32)
             done2 = done
             if has_eos:
                 done2 = jnp.logical_or(done, jnp.any(tok[0] == eos))
+            hist = jnp.concatenate([hist[:, 1:], tok[:, None]], axis=1) \
+                if use_rep else hist
             emb = apply_embedding(lm_params(p)["embed_tokens"], tok[:, None])
             hidden, caches = forward_fn(p, emb, caches, t0 + i, None)
-            return (logits_fn(p, hidden)[:, -1], caches, key, done2), \
-                jnp.where(done2, -1, tok[0])
+            return (logits_fn(p, hidden)[:, -1], caches, key, done2,
+                    hist), jnp.where(done2, -1, tok[0])
 
-        (lg, caches, rng, done), toks = jax.lax.scan(
-            body, (lg, caches, rng, done), jnp.arange(DEC_CHUNK))
-        return lg, caches, rng, done, toks
+        (lg, caches, rng, done, history), toks = jax.lax.scan(
+            body, (lg, caches, rng, done, history), jnp.arange(DEC_CHUNK))
+        return lg, caches, rng, done, history, toks
 
     return jax.jit(prefill), jax.jit(chunk)
 
 
 def run_decode(model, fns, embeds: np.ndarray, n: int, *, max_tokens: int,
-               seed: int = 0, on_token=None) -> List[int]:
+               seed: int = 0, on_token=None,
+               history: Optional[np.ndarray] = None) -> List[int]:
     """Drive the (prefill, chunk) pair until EOS/max_tokens."""
     prefill, chunk = fns
     lg, caches = prefill(model.params, jnp.asarray(embeds), jnp.int32(n))
     rng = jax.random.PRNGKey(seed)
     done = jnp.bool_(False)
     t = jnp.int32(n)
+    hist = None if history is None else jnp.asarray(history, jnp.int32)
     out: List[int] = []
     while len(out) < max_tokens:
-        lg, caches, rng, done, toks = chunk(model.params, lg, caches, t,
-                                            rng, done)
+        lg, caches, rng, done, hist, toks = chunk(
+            model.params, lg, caches, t, rng, done, hist)
         t = t + DEC_CHUNK
         arr = np.asarray(toks)
         new = [int(x) for x in arr[arr >= 0]][:max_tokens - len(out)]

@@ -43,6 +43,13 @@ MODEL_REMAPPING = {
     "moss_tts_local": "moss_tts_local",
     "moss_tts_nano": "moss_tts_nano",
     "mosstts": "moss_tts",
+    "qwen3": "qwen3",
+    "vyvo": "qwen3",
+    "vyvotts": "qwen3",
+    "bailingmm": "bailingmm",
+    "ming_omni_tts": "bailingmm",
+    "ming_omni": "bailingmm",
+    "dense": "dense",
 }
 
 
