@@ -71,3 +71,42 @@ def dpm_tables(num_train_timesteps: int, num_inference_steps: int,
             "sigma": f32(sigma[:n]), "sigma_ratio": f32(sigma_ratio),
             "alpha_next": f32(alpha_next), "em1": f32(em1),
             "inv_r0": f32(inv_r0), "use_first": f32(use_first)}
+
+
+@lru_cache(maxsize=8)
+def sde_dpm_tables(num_train_timesteps: int, num_inference_steps: int,
+                   beta_schedule: str = "cosine") -> dict:
+    """SDE-DPM-Solver++ per-step constants (KugelAudio's stochastic variant,
+    parity: tts/models/kugelaudio/scheduler.py :19-77).
+
+    Update: prev = a_sample*x + b_x0*x0 + 0.5*b_x0*D1 (order 2)
+                  + c_noise*N(0, I), with
+      a_sample = (sigma_next/sigma) * exp(-h)
+      b_x0     = alpha_next * (1 - exp(-2h))
+      c_noise  = sigma_next * sqrt(1 - exp(-2h))
+    All branch selection (order-1 at step 0 and the final step) is folded
+    into `use_first`, so the whole sampler is one lax.scan.
+    """
+    base = dpm_tables(num_train_timesteps, num_inference_steps,
+                      beta_schedule)
+    n = num_inference_steps
+    # rebuild alpha/sigma/lambda ladders (incl. the final zero-sigma entry)
+    sigma = np.concatenate([base["sigma"], [0.0]]).astype(np.float64)
+    alpha = np.concatenate([base["alpha"], [1.0]]).astype(np.float64)
+    lam = np.where(sigma > 0, np.log(alpha) - np.log(np.maximum(sigma,
+                                                                1e-30)),
+                   np.inf)
+    h = np.array([lam[k + 1] - lam[k] for k in range(n)])
+    with np.errstate(over="ignore"):
+        exp_h = np.exp(-h)
+        exp_2h = np.exp(-2.0 * h)
+    a_sample = np.array([sigma[k + 1] / sigma[k] if sigma[k] > 0 else 0.0
+                         for k in range(n)]) * exp_h
+    b_x0 = alpha[1:n + 1] * (1.0 - exp_2h)
+    c_noise = sigma[1:n + 1] * np.sqrt(np.clip(1.0 - exp_2h, 0.0, None))
+
+    f32 = lambda a: np.asarray(a, np.float32)  # noqa: E731
+    return {"t": base["t"], "alpha": base["alpha"], "sigma": base["sigma"],
+            "a_sample": f32(a_sample), "b_x0": f32(b_x0),
+            "c_noise": f32(c_noise), "inv_r0": base["inv_r0"],
+            "use_first": base["use_first"]}

@@ -50,6 +50,8 @@ MODEL_REMAPPING = {
     "ming_omni_tts": "bailingmm",
     "ming_omni": "bailingmm",
     "dense": "dense",
+    "kugelaudio": "kugelaudio",
+    "kugel": "kugelaudio",
 }
 
 
