@@ -52,6 +52,8 @@ MODEL_REMAPPING = {
     "dense": "dense",
     "kugelaudio": "kugelaudio",
     "kugel": "kugelaudio",
+    "voxcpm": "voxcpm",
+    "voxcpm2": "voxcpm2",
 }
 
 
