@@ -54,6 +54,7 @@ MODEL_REMAPPING = {
     "kugel": "kugelaudio",
     "voxcpm": "voxcpm",
     "voxcpm2": "voxcpm2",
+    "tada": "tada",
 }
 
 
