@@ -55,6 +55,9 @@ MODEL_REMAPPING = {
     "voxcpm": "voxcpm",
     "voxcpm2": "voxcpm2",
     "tada": "tada",
+    "fish_speech": "fish_qwen3_omni",
+    "fish_qwen3_omni": "fish_qwen3_omni",
+    "fishspeech": "fish_qwen3_omni",
 }
 
 
