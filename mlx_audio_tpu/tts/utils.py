@@ -58,6 +58,8 @@ MODEL_REMAPPING = {
     "fish_speech": "fish_qwen3_omni",
     "fish_qwen3_omni": "fish_qwen3_omni",
     "fishspeech": "fish_qwen3_omni",
+    "confucius4": "confucius4",
+    "confucius": "confucius4",
 }
 
 
