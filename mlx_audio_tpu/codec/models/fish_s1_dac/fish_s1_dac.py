@@ -416,8 +416,11 @@ class Model(FunctionalModel):
             codes.append(idx)
         return jnp.stack(codes, axis=-1)
 
-    def _decode_graph(self, p, codes: Array) -> Array:
-        """codes (B, T', books) -> audio (B, samples, 1)."""
+    def _zq_from_codes(self, p, codes: Array) -> Array:
+        """codes (B, T', books) -> pre-post_module z_q (B, T', vq_dim).
+
+        Mirrors reference fish_s1_dac.py:1184-1208 encode_zq (semantic +
+        residual codebook lookups summed, no post module)."""
         cfg = self.config
         q = p["quantizer"]
         sem = q["semantic_quantizer"]["quantizers"]["0"]
@@ -427,6 +430,17 @@ class Model(FunctionalModel):
             qp = q["quantizer"]["quantizers"][str(i)]
             zq = zq + _vq_zq(qp, jnp.clip(codes[..., i + 1], 0,
                                           cfg.codebook_size - 1))
+        return zq
+
+    def _decode_graph(self, p, codes: Array) -> Array:
+        """codes (B, T', books) -> audio (B, samples, 1)."""
+        return self._decode_zq_graph(p, self._zq_from_codes(p, codes))
+
+    def _decode_zq_graph(self, p, zq: Array) -> Array:
+        """z_q (B, T', vq_dim) -> audio (B, samples, 1)
+        (reference fish_s1_dac.py:1209-1214 decode_zq)."""
+        cfg = self.config
+        q = p["quantizer"]
         zq = window_transformer(q["post_module"], cfg.vq_transformer, zq,
                                 cfg.vq_window, jnp.int32(zq.shape[1]))
         for j in range(len(cfg.downsample_factor)):
@@ -488,6 +502,35 @@ class Model(FunctionalModel):
             self._jit_cache[("dec", fb, codes.shape[1])] = fn
         out = np.asarray(fn(self.params, jnp.asarray(padded)))
         return out[0, :n * cfg.frame_length, 0]
+
+    def encode_zq(self, audio: np.ndarray) -> np.ndarray:
+        """(T,) or (B, T) audio -> continuous quantized latent
+        (B, frames, vq_dim), the pre-post_module z_q used by Echo-TTS
+        (reference fish_s1_dac.py:1184)."""
+        a = np.asarray(audio, np.float32).reshape(-1)
+        codes = self.encode(a)
+        fn = self._jit_cache.get("zq_lookup")
+        if fn is None:
+            fn = jax.jit(self._zq_from_codes)
+            self._jit_cache["zq_lookup"] = fn
+        return np.asarray(fn(self.params, jnp.asarray(codes[None])))
+
+    def decode_zq(self, z_q: np.ndarray) -> np.ndarray:
+        """z_q (B, frames, vq_dim) -> audio (B, samples)
+        (reference fish_s1_dac.py:1209)."""
+        cfg = self.config
+        z_q = np.asarray(z_q, np.float32)
+        n = z_q.shape[1]
+        fb = next((x // cfg.frame_length for x in TIME_BUCKETS
+                   if n * cfg.frame_length <= x), n)
+        padded = np.zeros((z_q.shape[0], fb, z_q.shape[2]), np.float32)
+        padded[:, :n] = z_q
+        fn = self._jit_cache.get(("dec_zq", fb))
+        if fn is None:
+            fn = jax.jit(self._decode_zq_graph)
+            self._jit_cache[("dec_zq", fb)] = fn
+        out = np.asarray(fn(self.params, jnp.asarray(padded)))
+        return out[:, :n * cfg.frame_length, 0]
 
     # ---------------------------------------------------------- loading
 

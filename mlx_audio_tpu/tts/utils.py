@@ -60,6 +60,9 @@ MODEL_REMAPPING = {
     "fishspeech": "fish_qwen3_omni",
     "confucius4": "confucius4",
     "confucius": "confucius4",
+    "echo_tts": "echo_tts",
+    "echo": "echo_tts",
+    "echotts": "echo_tts",
 }
 
 
