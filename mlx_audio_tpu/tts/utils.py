@@ -63,6 +63,9 @@ MODEL_REMAPPING = {
     "echo_tts": "echo_tts",
     "echo": "echo_tts",
     "echotts": "echo_tts",
+    "indextts": "indextts",
+    "index_tts": "indextts",
+    "index-tts": "indextts",
 }
 
 
