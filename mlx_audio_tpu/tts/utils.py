@@ -66,6 +66,8 @@ MODEL_REMAPPING = {
     "indextts": "indextts",
     "index_tts": "indextts",
     "index-tts": "indextts",
+    "omnivoice": "omnivoice",
+    "omni_voice": "omnivoice",
 }
 
 
