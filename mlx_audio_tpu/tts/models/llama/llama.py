@@ -59,6 +59,9 @@ class ModelConfig(BaseModelArgs):
     residual_multiplier: float = 1.0
     attention_multiplier: Optional[float] = None
     logits_scaling: float = 1.0
+    # interleaved ("traditional") RoPE — used by Mistral-style consumers
+    # (voxtral_tts); default False keeps HF split-half semantics.
+    rope_interleaved: bool = False
 
     @property
     def resolved_head_dim(self) -> int:
@@ -116,8 +119,8 @@ def _attn_block(p, cfg: ModelConfig, x, positions, inv_freq,
     q = apply_linear(p["q_proj"], x).reshape(b, t, cfg.num_attention_heads, hd)
     k = apply_linear(p["k_proj"], x).reshape(b, t, cfg.num_key_value_heads, hd)
     v = apply_linear(p["v_proj"], x).reshape(b, t, cfg.num_key_value_heads, hd)
-    q = apply_rope(q, positions, inv_freq)
-    k = apply_rope(k, positions, inv_freq)
+    q = apply_rope(q, positions, inv_freq, interleaved=cfg.rope_interleaved)
+    k = apply_rope(k, positions, inv_freq, interleaved=cfg.rope_interleaved)
     new_cache = None
     if caches is not None:
         new_cache = kv_update(caches, k, v, offset)

@@ -68,6 +68,8 @@ MODEL_REMAPPING = {
     "index-tts": "indextts",
     "omnivoice": "omnivoice",
     "omni_voice": "omnivoice",
+    "voxtral_tts": "voxtral_tts",
+    "voxtral": "voxtral_tts",
 }
 
 
