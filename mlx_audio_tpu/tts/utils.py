@@ -70,6 +70,9 @@ MODEL_REMAPPING = {
     "omni_voice": "omnivoice",
     "voxtral_tts": "voxtral_tts",
     "voxtral": "voxtral_tts",
+    "audiodit": "longcat_audiodit",
+    "longcat_audiodit": "longcat_audiodit",
+    "longcat": "longcat_audiodit",
 }
 
 
