@@ -73,6 +73,8 @@ MODEL_REMAPPING = {
     "audiodit": "longcat_audiodit",
     "longcat_audiodit": "longcat_audiodit",
     "longcat": "longcat_audiodit",
+    "zonos2": "zonos2",
+    "zonos": "zonos2",
 }
 
 
