@@ -75,6 +75,8 @@ MODEL_REMAPPING = {
     "longcat": "longcat_audiodit",
     "zonos2": "zonos2",
     "zonos": "zonos2",
+    "irodori_tts": "irodori_tts",
+    "irodori": "irodori_tts",
 }
 
 
