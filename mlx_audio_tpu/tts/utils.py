@@ -77,6 +77,8 @@ MODEL_REMAPPING = {
     "zonos": "zonos2",
     "irodori_tts": "irodori_tts",
     "irodori": "irodori_tts",
+    "dramabox-tts": "dramabox",
+    "dramabox": "dramabox",
 }
 
 
