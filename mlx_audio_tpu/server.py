@@ -296,6 +296,26 @@ class AudioServer:
         r.add_post("/v1/audio/separations", self.separations)
         r.add_get("/v1/audio/transcriptions/realtime", self.ws_transcriptions)
         r.add_get("/v1/realtime", self.ws_realtime)
+        # Studio UI (reference server.py:1946-1981 spawns `npm run dev`;
+        # here the buildless SPA in ui/static is served in-process)
+        r.add_get("/", self.ui_index)
+        r.add_get("/ui/{path:.*}", self.ui_static)
+
+    # -- studio UI -----------------------------------------------------------
+
+    async def ui_index(self, request):
+        from .ui import ui_static_dir
+
+        return web.FileResponse(ui_static_dir() / "index.html")
+
+    async def ui_static(self, request):
+        from .ui import ui_static_dir
+
+        base = ui_static_dir().resolve()
+        target = (base / request.match_info["path"]).resolve()
+        if not str(target).startswith(str(base)) or not target.is_file():
+            return web.json_response({"error": "not found"}, status=404)
+        return web.FileResponse(target)
 
     # -- basic -------------------------------------------------------------
 
@@ -756,6 +776,7 @@ def main(argv=None):
     parser.add_argument("--host", default="0.0.0.0")
     parser.add_argument("--port", type=int, default=8000)
     args = parser.parse_args(argv)
+    print(f"Studio UI available at http://{args.host}:{args.port}/")
     web.run_app(create_app(), host=args.host, port=args.port)
 
 

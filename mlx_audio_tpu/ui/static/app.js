@@ -1,0 +1,338 @@
+/* MLX Audio TPU Studio — buildless SPA.
+ *
+ * Feature parity with the reference Next.js studio
+ * (reference ui/app/{text-to-speech,speech-to-text,audio-separation}/page.tsx,
+ * components/{audio-orb,voice-selection,theme-toggle}.tsx):
+ *   - TTS: model/voice/speed/temperature -> POST /v1/audio/speech, playback,
+ *     download, client-side history, WebAudio-driven orb visualizer.
+ *   - STT: file upload -> POST /v1/audio/transcriptions (json), segments table.
+ *   - Realtime: mic -> 16 kHz PCM16 frames over
+ *     WS /v1/audio/transcriptions/realtime.
+ *   - Separation: file + description -> POST /v1/audio/separations,
+ *     base64 target/residual WAV playback.
+ */
+
+const $ = (id) => document.getElementById(id);
+const API = ""; // same-origin
+
+// ----------------------------------------------------------------- theme
+
+const themeToggle = $("theme-toggle");
+function setTheme(t) {
+  document.documentElement.dataset.theme = t;
+  localStorage.setItem("mlx-audio-theme", t);
+}
+setTheme(localStorage.getItem("mlx-audio-theme") || "dark");
+themeToggle.addEventListener("click", () =>
+  setTheme(document.documentElement.dataset.theme === "dark" ? "light" : "dark"));
+
+// ---------------------------------------------------------------- router
+
+const pages = ["tts", "stt", "realtime", "separation"];
+function route() {
+  const page = (location.hash.replace("#/", "") || "tts");
+  for (const p of pages) {
+    $(`page-${p}`).hidden = p !== page;
+    document.querySelector(`.nav-link[data-page="${p}"]`)
+      .classList.toggle("active", p === page);
+  }
+}
+window.addEventListener("hashchange", route);
+route();
+
+// ---------------------------------------------------------------- health
+
+async function pollHealth() {
+  const el = $("health");
+  try {
+    const r = await fetch(`${API}/health`);
+    el.className = r.ok ? "health ok" : "health err";
+    el.title = r.ok ? "server healthy" : "server error";
+  } catch {
+    el.className = "health err";
+    el.title = "server unreachable";
+  }
+}
+pollHealth();
+setInterval(pollHealth, 10000);
+
+// ------------------------------------------------------------------- orb
+
+const orb = $("orb");
+const orbCtx = orb.getContext("2d");
+let analyser = null;
+let orbLevel = 0;
+
+function drawOrb() {
+  requestAnimationFrame(drawOrb);
+  const { width: w, height: h } = orb;
+  orbCtx.clearRect(0, 0, w, h);
+  let level = 0.12;
+  if (analyser) {
+    const data = new Uint8Array(analyser.frequencyBinCount);
+    analyser.getByteFrequencyData(data);
+    let sum = 0;
+    for (const v of data) sum += v;
+    level = 0.12 + (sum / data.length / 255) * 0.9;
+  }
+  orbLevel += (level - orbLevel) * 0.2;
+  const cx = w / 2, cy = h / 2;
+  const base = Math.min(w, h) * 0.28;
+  const t = performance.now() / 1000;
+  for (let ring = 3; ring >= 0; ring--) {
+    const r = base * (1 + orbLevel * (ring + 1) * 0.35);
+    orbCtx.beginPath();
+    for (let a = 0; a <= Math.PI * 2 + 0.01; a += 0.05) {
+      const wobble = 1 + 0.04 * orbLevel *
+        Math.sin(a * (3 + ring) + t * (1.5 + ring * 0.7));
+      const x = cx + Math.cos(a) * r * wobble;
+      const y = cy + Math.sin(a) * r * wobble;
+      if (a === 0) orbCtx.moveTo(x, y); else orbCtx.lineTo(x, y);
+    }
+    const hue = 200 + ring * 25 + orbLevel * 40;
+    orbCtx.strokeStyle = `hsla(${hue}, 85%, 60%, ${0.9 - ring * 0.2})`;
+    orbCtx.lineWidth = ring === 0 ? 2.5 : 1.2;
+    orbCtx.stroke();
+  }
+}
+drawOrb();
+
+function attachAnalyser(audioEl) {
+  if (audioEl._wired) return;
+  audioEl._wired = true;
+  const ctx = new (window.AudioContext || window.webkitAudioContext)();
+  const src = ctx.createMediaElementSource(audioEl);
+  analyser = ctx.createAnalyser();
+  analyser.fftSize = 256;
+  src.connect(analyser);
+  analyser.connect(ctx.destination);
+}
+
+// ------------------------------------------------------------------- TTS
+
+const ttsAudio = $("tts-audio");
+const history = [];
+
+for (const [slider, label] of [["tts-speed", "tts-speed-val"],
+                               ["tts-temp", "tts-temp-val"]]) {
+  $(slider).addEventListener("input", () =>
+    $(label).textContent = Number($(slider).value).toFixed(2).replace(/0$/, ""));
+}
+
+async function refreshVoices() {
+  try {
+    const r = await fetch(`${API}/v1/audio/voices`);
+    const data = await r.json();
+    const sel = $("tts-voice");
+    const current = sel.value;
+    sel.innerHTML = '<option value="">(default)</option>';
+    for (const voices of Object.values(data.voices || {})) {
+      for (const v of voices) {
+        const o = document.createElement("option");
+        o.value = o.textContent = v;
+        sel.appendChild(o);
+      }
+    }
+    sel.value = current;
+  } catch { /* server offline; leave default */ }
+}
+refreshVoices();
+
+function renderHistory() {
+  const ul = $("tts-history");
+  ul.innerHTML = "";
+  for (const item of history.slice().reverse()) {
+    const li = document.createElement("li");
+    const span = document.createElement("span");
+    span.textContent = `${item.text.slice(0, 60)} — ${item.when}`;
+    const btn = document.createElement("button");
+    btn.textContent = "Play";
+    btn.addEventListener("click", () => {
+      ttsAudio.src = item.url;
+      attachAnalyser(ttsAudio);
+      ttsAudio.play();
+    });
+    li.append(span, btn);
+    ul.appendChild(li);
+  }
+}
+
+$("tts-generate").addEventListener("click", async () => {
+  const status = $("tts-status");
+  status.className = "status";
+  status.textContent = "generating…";
+  $("tts-generate").disabled = true;
+  try {
+    const body = {
+      model: $("tts-model").value.trim(),
+      input: $("tts-text").value,
+      speed: Number($("tts-speed").value),
+      temperature: Number($("tts-temp").value),
+      response_format: "wav",
+    };
+    if ($("tts-voice").value) body.voice = $("tts-voice").value;
+    const r = await fetch(`${API}/v1/audio/speech`, {
+      method: "POST",
+      headers: { "Content-Type": "application/json" },
+      body: JSON.stringify(body),
+    });
+    if (!r.ok) throw new Error((await r.json()).error || r.statusText);
+    const blob = await r.blob();
+    const url = URL.createObjectURL(blob);
+    ttsAudio.src = url;
+    attachAnalyser(ttsAudio);
+    $("tts-play").disabled = false;
+    const dl = $("tts-download");
+    dl.href = url;
+    dl.hidden = false;
+    history.push({ text: body.input, url, when: new Date().toLocaleTimeString() });
+    renderHistory();
+    refreshVoices();
+    status.textContent = "done";
+    ttsAudio.play().catch(() => {});
+  } catch (e) {
+    status.className = "status err";
+    status.textContent = `error: ${e.message}`;
+  } finally {
+    $("tts-generate").disabled = false;
+  }
+});
+
+$("tts-play").addEventListener("click", () => {
+  if (ttsAudio.paused) { ttsAudio.play(); $("tts-play").textContent = "Pause"; }
+  else { ttsAudio.pause(); $("tts-play").textContent = "Play"; }
+});
+ttsAudio.addEventListener("ended", () => $("tts-play").textContent = "Play");
+
+// ------------------------------------------------------------------- STT
+
+$("stt-transcribe").addEventListener("click", async () => {
+  const status = $("stt-status");
+  const file = $("stt-file").files[0];
+  status.className = "status";
+  if (!file) { status.textContent = "pick a file first"; return; }
+  status.textContent = "transcribing…";
+  $("stt-transcribe").disabled = true;
+  try {
+    const form = new FormData();
+    form.append("file", file);
+    form.append("model", $("stt-model").value.trim());
+    form.append("response_format", "verbose_json");
+    const r = await fetch(`${API}/v1/audio/transcriptions`,
+                          { method: "POST", body: form });
+    const data = await r.json();
+    if (!r.ok) throw new Error(data.error || r.statusText);
+    $("stt-text").textContent = data.text || "(empty)";
+    const table = $("stt-segments");
+    const tbody = table.querySelector("tbody");
+    tbody.innerHTML = "";
+    const segs = data.segments || [];
+    table.hidden = segs.length === 0;
+    for (const s of segs) {
+      const tr = document.createElement("tr");
+      for (const cell of [s.start, s.end, s.text]) {
+        const td = document.createElement("td");
+        td.textContent = cell;
+        tr.appendChild(td);
+      }
+      tbody.appendChild(tr);
+    }
+    status.textContent = "done";
+  } catch (e) {
+    status.className = "status err";
+    status.textContent = `error: ${e.message}`;
+  } finally {
+    $("stt-transcribe").disabled = false;
+  }
+});
+
+// -------------------------------------------------------------- realtime
+
+let rtWs = null, rtCtx = null, rtNode = null, rtStream = null;
+
+$("rt-start").addEventListener("click", async () => {
+  const status = $("rt-status");
+  status.className = "status";
+  try {
+    rtStream = await navigator.mediaDevices.getUserMedia({ audio: true });
+    const proto = location.protocol === "https:" ? "wss" : "ws";
+    rtWs = new WebSocket(
+      `${proto}://${location.host}/v1/audio/transcriptions/realtime` +
+      `?model=${encodeURIComponent($("rt-model").value.trim())}`);
+    rtWs.onmessage = (ev) => {
+      try {
+        const m = JSON.parse(ev.data);
+        if (m.text) $("rt-text").textContent += m.text;
+        if (m.delta) $("rt-text").textContent += m.delta;
+      } catch { /* non-JSON frame */ }
+    };
+    rtWs.onclose = () => { status.textContent = "closed"; };
+    rtCtx = new AudioContext({ sampleRate: 16000 });
+    const src = rtCtx.createMediaStreamSource(rtStream);
+    rtNode = rtCtx.createScriptProcessor(4096, 1, 1);
+    rtNode.onaudioprocess = (e) => {
+      if (!rtWs || rtWs.readyState !== 1) return;
+      const f32 = e.inputBuffer.getChannelData(0);
+      const i16 = new Int16Array(f32.length);
+      for (let i = 0; i < f32.length; i++) {
+        i16[i] = Math.max(-32768, Math.min(32767, Math.round(f32[i] * 32768)));
+      }
+      rtWs.send(i16.buffer);
+    };
+    src.connect(rtNode);
+    rtNode.connect(rtCtx.destination);
+    $("rt-start").disabled = true;
+    $("rt-stop").disabled = false;
+    status.textContent = "streaming…";
+  } catch (e) {
+    status.className = "status err";
+    status.textContent = `error: ${e.message}`;
+  }
+});
+
+$("rt-stop").addEventListener("click", () => {
+  rtNode?.disconnect();
+  rtCtx?.close();
+  rtStream?.getTracks().forEach((t) => t.stop());
+  rtWs?.close();
+  $("rt-start").disabled = false;
+  $("rt-stop").disabled = true;
+  $("rt-status").textContent = "stopped";
+});
+
+// ------------------------------------------------------------ separation
+
+function b64ToBlobUrl(b64, mime = "audio/wav") {
+  const bin = atob(b64);
+  const bytes = new Uint8Array(bin.length);
+  for (let i = 0; i < bin.length; i++) bytes[i] = bin.charCodeAt(i);
+  return URL.createObjectURL(new Blob([bytes], { type: mime }));
+}
+
+$("sep-run").addEventListener("click", async () => {
+  const status = $("sep-status");
+  const file = $("sep-file").files[0];
+  status.className = "status";
+  if (!file) { status.textContent = "pick a file first"; return; }
+  status.textContent = "separating…";
+  $("sep-run").disabled = true;
+  try {
+    const form = new FormData();
+    form.append("file", file);
+    form.append("model", $("sep-model").value.trim());
+    form.append("description", $("sep-desc").value);
+    form.append("steps", $("sep-steps").value);
+    const r = await fetch(`${API}/v1/audio/separations`,
+                          { method: "POST", body: form });
+    const data = await r.json();
+    if (!r.ok || data.error) throw new Error(data.error || r.statusText);
+    if (data.target) $("sep-target").src = b64ToBlobUrl(data.target);
+    if (data.residual) $("sep-residual").src = b64ToBlobUrl(data.residual);
+    status.textContent = "done";
+  } catch (e) {
+    status.className = "status err";
+    status.textContent = `error: ${e.message}`;
+  } finally {
+    $("sep-run").disabled = false;
+  }
+});

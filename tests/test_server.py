@@ -383,3 +383,41 @@ class TestEndpoints:
             server.broker.stop_and_join()
 
         _run(go())
+
+
+class TestStudioUI:
+    """Buildless studio SPA served in-process (reference ui/ is a Next.js
+    app launched via `npm run dev`, server.py:1946-1981)."""
+
+    def test_index_and_assets(self):
+        async def go():
+            from aiohttp.test_utils import TestClient, TestServer
+
+            server = _make_client_app()
+            async with TestClient(TestServer(server.app)) as client:
+                r = await client.get("/")
+                assert r.status == 200
+                html = await r.text()
+                assert "MLX Audio TPU Studio" in html
+                for asset, marker in (("style.css", "--accent"),
+                                      ("app.js", "/v1/audio/speech")):
+                    r = await client.get(f"/ui/{asset}")
+                    assert r.status == 200
+                    assert marker in await r.text()
+            server.broker.stop_and_join()
+
+        _run(go())
+
+    def test_traversal_blocked(self):
+        async def go():
+            from aiohttp.test_utils import TestClient, TestServer
+
+            server = _make_client_app()
+            async with TestClient(TestServer(server.app)) as client:
+                r = await client.get("/ui/%2e%2e/%2e%2e/server.py")
+                assert r.status == 404
+                r = await client.get("/ui/nope.js")
+                assert r.status == 404
+            server.broker.stop_and_join()
+
+        _run(go())
