@@ -29,10 +29,11 @@ from ....nn import apply_linear, apply_rms_norm
 from ....ops.attention import attention
 from ....ops.kvcache import KVCache, kv_update, ring_mask, ring_update
 from ....ops.rope import apply_rope_interleaved, rope_freqs
-from .voxtral_realtime import (RAW_AUDIO_LENGTH_PER_TOK, ada_scales,
-                               compute_time_embedding, conv_stem,
-                               decoder_forward, downsample_project,
-                               voxtral_mel, _num_delay_tokens)
+from .voxtral_realtime import (RAW_AUDIO_LENGTH_PER_TOK, SAMPLE_RATE,
+                               ada_scales, compute_time_embedding,
+                               conv_stem, decoder_forward,
+                               downsample_project, voxtral_mel,
+                               _num_delay_tokens)
 
 Array = jax.Array
 
@@ -132,6 +133,12 @@ class VoxtralStreamingSession:
         self._fns: Dict = {}
 
     # -------------------------------------------------------- public
+
+    @property
+    def input_sample_rate(self) -> int:
+        """Expected feed() rate (reference session protocol,
+        server.py:1554-1560 consumes this)."""
+        return SAMPLE_RATE
 
     @property
     def done(self) -> bool:
