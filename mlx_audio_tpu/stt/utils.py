@@ -19,7 +19,6 @@ MODEL_REMAPPING = {
     "distil": "whisper",
     "voxtral_realtime": "voxtral_realtime",
     "parakeet": "parakeet",
-    "silero": "silero_vad",
     "wav2vec2": "mms",
     "wav2vec": "mms",
     "mms": "mms",
