@@ -34,16 +34,26 @@ def data_sharding(mesh: Mesh, ndim: int = 2):
 
 # rule: regex on the flattened param path -> PartitionSpec factory(ndim)
 def transformer_param_rules() -> Dict[str, Callable[[int], P]]:
-    col = lambda ndim: P(*((["tp"] + [None] * (ndim - 1))))      # (out, in): out sharded
-    row = lambda ndim: P(*(([None] * (ndim - 1) + ["tp"])))      # (out, in): in sharded
+    # weights are (out, in); scan-stacked layers add a leading L axis
+    # ((L, out, in)) which must stay unsharded — shard relative to the
+    # TRAILING dims so both layouts work.
+    def col_w(ndim):   # shard out features: (..., tp, None)
+        return P(*([None] * (ndim - 2) + ["tp", None]))
+
+    def row_w(ndim):   # shard in features: (..., None, tp)
+        return P(*([None] * (ndim - 1) + ["tp"]))
+
+    def col_b(ndim):   # bias (out,) or stacked (L, out)
+        return P(*([None] * (ndim - 1) + ["tp"]))
+
     return {
-        r"\.(q_proj|k_proj|v_proj)\.weight$": col,
-        r"\.(gate_proj|up_proj)\.weight$": col,
-        r"\.(q_proj|k_proj|v_proj)\.bias$": col,
-        r"\.o_proj\.weight$": row,
-        r"\.down_proj\.weight$": row,
-        r"\.(wqkv|in_proj)\.weight$": col,
-        r"\.(wo|out_proj)\.weight$": row,
+        r"\.(q_proj|k_proj|v_proj)\.weight$": col_w,
+        r"\.(gate_proj|up_proj)\.weight$": col_w,
+        r"\.(q_proj|k_proj|v_proj)\.bias$": col_b,
+        r"\.o_proj\.weight$": row_w,
+        r"\.down_proj\.weight$": row_w,
+        r"\.(wqkv|in_proj)\.weight$": col_w,
+        r"\.(wo|out_proj)\.weight$": row_w,
     }
 
 

@@ -43,11 +43,11 @@ class Qwen3TTSBatchSession:
             for v in jax.tree.leaves(model.params)
             if hasattr(v, "dtype") and jnp.issubdtype(v.dtype, jnp.floating)
         ) else jnp.float32
-        self.caches = [
-            KVCache.init(self.B, MAX_SESSION_STEPS, tcfg.num_key_value_heads,
-                         tcfg.head_dim, self._dtype)
-            for _ in range(tcfg.num_hidden_layers)
-        ]
+        from .talker import make_stacked_caches
+
+        self.caches = make_stacked_caches(
+            tcfg.num_hidden_layers, self.B, MAX_SESSION_STEPS,
+            tcfg.num_key_value_heads, tcfg.head_dim, self._dtype)
         d = tcfg.hidden_size
         self.embed = jnp.zeros((self.B, 1, d), self._dtype)
         self.valid = jnp.zeros((self.B, MAX_SESSION_STEPS), bool)
@@ -146,24 +146,28 @@ class Qwen3TTSBatchSession:
     def _admit_jit(self, params, caches, embed, valid, finished, history,
                    prompt_embeds, plen, slot, t0, trailing, tlen, pad_embed,
                    key, *, pb):
-        from ....ops.kvcache import kv_update_row
-        from .talker import talker_forward
+        from .talker import make_stacked_caches, talker_forward
 
         model = self.model
         tcfg = model.tcfg
         # batch-1 prefill of the prompt
-        small = [KVCache.init(1, pb, tcfg.num_key_value_heads, tcfg.head_dim,
-                              prompt_embeds.dtype)
-                 for _ in range(tcfg.num_hidden_layers)]
+        small = make_stacked_caches(
+            tcfg.num_hidden_layers, 1, pb, tcfg.num_key_value_heads,
+            tcfg.head_dim, prompt_embeds.dtype)
         pmask = jnp.where(jnp.arange(pb)[None, None, None, :] < plen, 0.0,
                           -jnp.inf)
         logits, hidden, small = talker_forward(
             params["talker"], tcfg, prompt_embeds, small, 0,
             lengths_mask=pmask)
-        # splice prompt KV into the slot rows at [t0, t0+pb)
-        for i in range(tcfg.num_hidden_layers):
-            caches[i] = kv_update_row(caches[i], slot, small[i].k[0],
-                                      small[i].v[0], t0)
+        # splice prompt KV into the slot rows at [t0, t0+pb): caches are
+        # stacked (L, B, T, H, D); small is (L, 1, pb, H, D)
+        caches = KVCache(
+            jax.lax.dynamic_update_slice(
+                caches.k, small.k.astype(caches.k.dtype),
+                (0, slot, t0, 0, 0)),
+            jax.lax.dynamic_update_slice(
+                caches.v, small.v.astype(caches.v.dtype),
+                (0, slot, t0, 0, 0)))
         valid = jax.lax.fori_loop(
             0, plen, lambda j, v: v.at[slot, t0 + j].set(True), valid)
         # sample the first frame for this row (step0 logic, batch 1)
@@ -193,7 +197,7 @@ class Qwen3TTSBatchSession:
         suppress = jnp.asarray(model._suppress_mask())
         from ....ops.sampling import apply_repetition_penalty, top_k_top_p_filter
         from ....nn import apply_embedding
-        from .talker import code_predictor_forward, talker_forward
+        from .talker import code_predictor_sample, talker_forward
 
         def sample(k, lg):
             lg = lg.astype(jnp.float32)
@@ -219,27 +223,12 @@ class Qwen3TTSBatchSession:
             key, k0 = jax.random.split(key)
             tok0 = sample(k0, lg)
             cp = params["talker"]["code_predictor"]
-            cp_emb = cp["model"]["codec_embedding"]
             emb_fn = lambda ids: apply_embedding(
                 params["talker"]["model"]["codec_embedding"], ids)
-            cp_caches = [
-                KVCache.init(b, n_groups + 2, cpcfg.num_key_value_heads,
-                             cpcfg.head_dim, hidden.dtype)
-                for _ in range(cpcfg.num_hidden_layers)
-            ]
-            x = jnp.concatenate([hidden[:, -1:], emb_fn(tok0[:, None])],
-                                axis=1)
-            codes = [tok0]
-            off = 0
-            for gi in range(n_groups - 1):
-                cl, cp_caches = code_predictor_forward(cp, cpcfg, x,
-                                                       cp_caches, off, gi)
-                off += x.shape[1]
-                key, kg = jax.random.split(key)
-                tg = sample(kg, cl)
-                codes.append(tg)
-                x = apply_embedding(cp_emb[str(gi)], tg[:, None])
-            all_codes = jnp.stack(codes, axis=-1)
+            cp_codes, _, key = code_predictor_sample(
+                cp, cpcfg, hidden[:, -1:], emb_fn(tok0[:, None]), key,
+                sample, n_groups)
+            all_codes = jnp.concatenate([tok0[:, None], cp_codes], axis=-1)
             now_fin = finished | (tok0 == eos)
             history = jnp.where(
                 finished[:, None], history,
@@ -318,13 +307,16 @@ class Qwen3TTSBatchSession:
 
             def embed_fn(params, codes, trailing, t_idx, t_len, pad_embed):
                 cp_emb = params["talker"]["code_predictor"]["model"][
-                    "codec_embedding"]
+                    "codec_embedding"]["weight"]  # (G-1, V, D)
                 codec_e = apply_embedding(
                     params["talker"]["model"]["codec_embedding"],
                     codes[:, 0:1])
-                for gi in range(model.tcfg.num_code_groups - 1):
-                    codec_e = codec_e + apply_embedding(
-                        cp_emb[str(gi)], codes[:, gi + 1: gi + 2])
+                # vectorized per-group gather: sum_g cp_emb[g][codes[:,g+1]]
+                g1 = model.tcfg.num_code_groups - 1
+                gathered = jax.vmap(
+                    lambda tbl, ids: tbl[ids], in_axes=(0, 1),
+                    out_axes=1)(cp_emb, codes[:, 1:g1 + 1])  # (B, G-1, D)
+                codec_e = codec_e + gathered.sum(axis=1, keepdims=True)
                 tb = trailing.shape[1]
                 idx = jnp.minimum(t_idx, tb - 1)
                 text_e = jnp.take_along_axis(

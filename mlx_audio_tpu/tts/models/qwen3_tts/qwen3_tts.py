@@ -42,8 +42,10 @@ from .speech_tokenizer import (
     total_upsample,
 )
 from .talker import (
-    code_predictor_forward,
+    code_predictor_sample,
     init_talker,
+    make_stacked_caches,
+    stack_layer_trees,
     talker_forward,
     text_projection,
 )
@@ -144,7 +146,38 @@ class Model(FunctionalModel):
                 emb = data["embedding_sum"] / np.clip(
                     data["cluster_usage"][:, None], 1e-5, None)
                 out[f"{base}.codebook.embed.weight"] = jnp.asarray(emb)
-        return out
+        return self._stack_scanned(out)
+
+    @staticmethod
+    def _stack_scanned(out: dict) -> dict:
+        """Checkpoint per-layer / per-group keys -> stacked arrays for the
+        scan-over-depth talker (talker.py `scan_layers`)."""
+        import re
+
+        pats = [
+            re.compile(r"^(talker\.model\.layers)\.(\d+)\.(.+)$"),
+            re.compile(
+                r"^(talker\.code_predictor\.model\.layers)\.(\d+)\.(.+)$"),
+            re.compile(r"^(talker\.code_predictor\.model\.codec_embedding)"
+                       r"\.(\d+)\.(weight)$"),
+            re.compile(
+                r"^(talker\.code_predictor\.lm_head)\.(\d+)\.(weight)$"),
+        ]
+        grouped: Dict[str, Dict[int, jnp.ndarray]] = {}
+        rest_out = {}
+        for k, v in out.items():
+            for pat in pats:
+                m = pat.match(k)
+                if m:
+                    base, idx, rest = m.group(1), int(m.group(2)), m.group(3)
+                    grouped.setdefault(f"{base}.{rest}", {})[idx] = v
+                    break
+            else:
+                rest_out[k] = v
+        for key, table in grouped.items():
+            rest_out[key] = jnp.stack(
+                [table[i] for i in sorted(table)], axis=0)
+        return rest_out
 
     @staticmethod
     def _sanitize_ref_encoder(weights) -> dict:
@@ -479,11 +512,11 @@ class Model(FunctionalModel):
 
         # codec side: bos + summed codebook embeddings of the ref codes
         cp_emb = self.params["talker"]["code_predictor"]["model"][
-            "codec_embedding"]
+            "codec_embedding"]["weight"]  # (G-1, V, D)
         ref_codec = self._codec_embed(np.asarray(ref_codes[:, 0]))
         for gi in range(tcfg.num_code_groups - 1):
-            ref_codec = ref_codec + apply_embedding(
-                cp_emb[str(gi)], jnp.asarray(ref_codes[:, gi + 1]))
+            ref_codec = ref_codec + cp_emb[gi][
+                jnp.asarray(ref_codes[:, gi + 1])]
         codec_bos = self._codec_embed(np.asarray([[tcfg.codec_bos_id]]))
         codec_icl = jnp.concatenate([codec_bos, ref_codec], axis=1)
         codec_lens = codec_icl.shape[1]
@@ -540,11 +573,9 @@ class Model(FunctionalModel):
 
         def prefill(params, embeds, plen):
             b = embeds.shape[0]
-            caches = [
-                KVCache.init(b, MAX_CACHE_LEN, tcfg.num_key_value_heads,
-                             tcfg.head_dim, embeds.dtype)
-                for _ in range(tcfg.num_hidden_layers)
-            ]
+            caches = make_stacked_caches(
+                tcfg.num_hidden_layers, b, MAX_CACHE_LEN,
+                tcfg.num_key_value_heads, tcfg.head_dim, embeds.dtype)
             mask = jnp.where(jnp.arange(pb)[None] < plen, 0.0, -jnp.inf)
             # right-padded prompt: mask pad keys via additive mask on prefill
             pad_mask = jnp.zeros((b, MAX_CACHE_LEN))
@@ -560,9 +591,14 @@ class Model(FunctionalModel):
 
         return jax.jit(prefill, static_argnames=())
 
-    def _make_chunk_stepper(self, chunk: int, temperature: float, top_k: int,
+    def _make_chunk_stepper(self, temperature: float, top_k: int,
                             top_p: float, repetition_penalty: float,
                             trailing_bucket: int):
+        """ONE compiled stepper for every chunk size: a while_loop with a
+        traced step bound (+ all-finished early exit) writing codes into a
+        fixed (CHUNK_TOKENS, B, G) buffer. The reference-era design (one
+        lax.scan compile per chunk length) compiled the same 28-layer body
+        twice (first + steady chunk)."""
         tcfg, cpcfg = self.tcfg, self.cpcfg
         eos = tcfg.codec_eos_token_id
         n_groups = tcfg.num_code_groups
@@ -577,11 +613,9 @@ class Model(FunctionalModel):
             return jax.random.categorical(key, lg, axis=-1).astype(jnp.int32)
 
         def chunk_step(params, carry: GenCarry, trailing, trailing_len,
-                       pad_embed):
+                       pad_embed, n_steps):
             emb_fn = lambda ids: apply_embedding(
                 params["talker"]["model"]["codec_embedding"], ids)
-            cp_emb = params["talker"]["code_predictor"]["model"][
-                "codec_embedding"]
 
             def step(c: GenCarry, _):
                 logits, hidden, caches = talker_forward(
@@ -592,41 +626,21 @@ class Model(FunctionalModel):
                                                   repetition_penalty)
                 key, k0 = jax.random.split(c.key)
                 tok0 = sample(k0, lg)
-                b = tok0.shape[0]
 
-                # ---- code predictor: G-1 sub-steps, static unroll ----
-                cp_caches = [
-                    KVCache.init(b, n_groups + 2, cpcfg.num_key_value_heads,
-                                 cpcfg.head_dim, hidden.dtype)
-                    for _ in range(cpcfg.num_hidden_layers)
-                ]
-                code_hidden = hidden[:, -1:]
+                # ---- code predictor: G-1 sub-steps as one scan ----
                 code0_embed = emb_fn(tok0[:, None])
-                x = jnp.concatenate([code_hidden, code0_embed], axis=1)
-                codes = [tok0]
-                cp_off = 0
-                for gi in range(n_groups - 1):
-                    cl, cp_caches = code_predictor_forward(
-                        params["talker"]["code_predictor"], cpcfg, x,
-                        cp_caches, cp_off, gi)
-                    cp_off += x.shape[1]
-                    key, kg = jax.random.split(key)
-                    tok_g = sample(kg, cl)
-                    codes.append(tok_g)
-                    x = apply_embedding(cp_emb[str(gi)], tok_g[:, None])
-
-                all_codes = jnp.stack(codes, axis=-1)  # (B, G)
+                cp_codes, cp_emb_sum, key = code_predictor_sample(
+                    params["talker"]["code_predictor"], cpcfg,
+                    hidden[:, -1:], code0_embed, key, sample, n_groups)
+                all_codes = jnp.concatenate([tok0[:, None], cp_codes],
+                                            axis=-1)  # (B, G)
 
                 # ---- next input embedding ----
                 t_idx = jnp.minimum(c.trailing_idx, trailing_bucket - 1)
                 text_e = jax.lax.dynamic_slice_in_dim(trailing, t_idx, 1, 1)
                 text_e = jnp.where(c.trailing_idx < trailing_len, text_e,
                                    pad_embed)
-                codec_e = emb_fn(tok0[:, None])
-                for gi in range(n_groups - 1):
-                    codec_e = codec_e + apply_embedding(
-                        cp_emb[str(gi)], codes[gi + 1][:, None])
-                next_embed = text_e + codec_e
+                next_embed = text_e + code0_embed + cp_emb_sum
 
                 now_finished = c.finished | (tok0 == eos)
                 history = jnp.where(
@@ -640,8 +654,24 @@ class Model(FunctionalModel):
                     key=key)
                 return new_c, (all_codes, now_finished)
 
-            carry2, (codes_seq, fin_seq) = jax.lax.scan(
-                step, carry, None, length=chunk)
+            b = carry.finished.shape[0]
+            codes_buf = jnp.zeros((CHUNK_TOKENS, b, n_groups), jnp.int32)
+            fin_buf = jnp.ones((CHUNK_TOKENS, b), bool)
+
+            def cond(st):
+                i, c, _, _ = st
+                return (i < n_steps) & ~jnp.all(c.finished)
+
+            def body(st):
+                i, c, codes, fin = st
+                c2, (codes_i, fin_i) = step(c, None)
+                codes = jax.lax.dynamic_update_index_in_dim(
+                    codes, codes_i, i, 0)
+                fin = jax.lax.dynamic_update_index_in_dim(fin, fin_i, i, 0)
+                return i + 1, c2, codes, fin
+
+            _, carry2, codes_seq, fin_seq = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), carry, codes_buf, fin_buf))
             return carry2, codes_seq, fin_seq
 
         return jax.jit(chunk_step)
@@ -652,6 +682,47 @@ class Model(FunctionalModel):
         if fn is None:
             fn = jax.jit(lambda p, s, c: streaming_step(
                 p["speech_tokenizer"]["decoder"], self.dcfg, s, c))
+            self._jit_cache[key] = fn
+        return fn
+
+    def _get_block_stream_decoder(self, block: int, max_blocks: int):
+        """ONE compiled streaming decoder for any frame count: a
+        while_loop over `block`-frame sub-steps inside the jit — a single
+        HLO body + a single device dispatch per generation chunk (the
+        per-length variant compiled a fresh conv stack per chunk shape)."""
+        key = ("codec_stream_blocks", block, max_blocks)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            dcfg = self.dcfg
+            spf = self.total_upsample
+
+            def run(params, state, codes, n_blocks):
+                # codes: (1, G, block * max_blocks) zero-padded
+                b = codes.shape[0]
+                audio_buf = jnp.zeros((b, block * max_blocks * spf),
+                                      jnp.float32)
+
+                def cond(st):
+                    i, _, _ = st
+                    return i < n_blocks
+
+                def body(st):
+                    i, state, buf = st
+                    blk = jax.lax.dynamic_slice_in_dim(
+                        codes, i * block, block, axis=2)
+                    state, audio = streaming_step(
+                        params["speech_tokenizer"]["decoder"], dcfg,
+                        state, blk)
+                    buf = jax.lax.dynamic_update_slice(
+                        buf, audio.astype(buf.dtype),
+                        (0, i * block * spf))
+                    return i + 1, state, buf
+
+                _, state, buf = jax.lax.while_loop(
+                    cond, body, (jnp.int32(0), state, audio_buf))
+                return state, buf
+
+            fn = jax.jit(run)
             self._jit_cache[key] = fn
         return fn
 
@@ -745,34 +816,54 @@ class Model(FunctionalModel):
         segment_idx = 0
         chunks_audio: List[np.ndarray] = []
 
-        def decode_new(codes_list, n_valid):
-            """Stream-decode codes [decoded:n_valid]."""
+        BLOCK = 8                       # codec-stream sub-block (frames)
+        MAX_BLOCKS = (CHUNK_TOKENS + 2 * BLOCK - 2) // BLOCK + 1
+        spf = self.total_upsample       # samples per frame
+
+        def decode_new(codes_list, n_valid, final=False):
+            """Stream-decode [decoded:n_valid] via the single-shape block
+            decoder: one device call per generation chunk regardless of
+            frame count (pad to BLOCK multiple; a trailing partial block
+            only at `final`, whose state is never reused)."""
             nonlocal stream_state, decoded
             if n_valid <= decoded:
                 return None
-            block = np.concatenate(codes_list, axis=0)[decoded:n_valid]
-            codes = jnp.asarray(block.T[None])  # (1, G, T)
-            fn = codec_fn_cache.get(codes.shape[-1])
-            if fn is None:
-                fn = self._get_stream_decoder(codes.shape[-1])
-                codec_fn_cache[codes.shape[-1]] = fn
-            stream_state, audio = fn(self.params, stream_state, codes)
-            decoded = n_valid
-            return np.asarray(audio[0])
+            all_codes = np.concatenate(codes_list, axis=0)
+            pending = n_valid - decoded
+            n_full = pending // BLOCK
+            take = n_full * BLOCK
+            if final and pending % BLOCK:
+                n_full += 1
+                take = pending
+            if n_full == 0:
+                return None
+            n_full = min(n_full, MAX_BLOCKS)
+            take = min(take, n_full * BLOCK, pending)
+            buf = np.zeros((BLOCK * MAX_BLOCKS, all_codes.shape[1]),
+                           all_codes.dtype)
+            buf[:take] = all_codes[decoded:decoded + take]
+            fn = self._get_block_stream_decoder(BLOCK, MAX_BLOCKS)
+            stream_state, audio = fn(self.params, stream_state,
+                                     jnp.asarray(buf.T[None]),
+                                     jnp.int32(n_full))
+            audio = np.asarray(audio[0])[: take * spf]
+            decoded += take
+            return audio
 
         while not finished and total_tokens < max_tokens:
             chunk = chunk_schedule[0] if total_tokens <= 1 else chunk_schedule[-1]
-            st_key = ("stepper", chunk, temperature, top_k, top_p,
+            st_key = ("stepper", temperature, top_k, top_p,
                       repetition_penalty, tb)
             st = self._jit_cache.get(st_key)
             if st is None:
                 st = self._make_chunk_stepper(
-                    chunk, temperature, top_k, top_p, repetition_penalty, tb)
+                    temperature, top_k, top_p, repetition_penalty, tb)
                 self._jit_cache[st_key] = st
             carry, codes_seq, fin_seq = st(self.params, carry, trailing,
-                                           jnp.int32(tl), pad_embed)
-            codes_np = np.asarray(codes_seq)[:, 0]  # (chunk, G)
-            fin_np = np.asarray(fin_seq)[:, 0]
+                                           jnp.int32(tl), pad_embed,
+                                           jnp.int32(chunk))
+            codes_np = np.asarray(codes_seq)[:chunk, 0]  # (chunk, G)
+            fin_np = np.asarray(fin_seq)[:chunk, 0]
             n_new = int((~fin_np).sum())
             # tokens sampled before EOS this chunk (EOS token itself excluded)
             if fin_np.any():
@@ -796,7 +887,7 @@ class Model(FunctionalModel):
 
         n_valid = sum(c.shape[0] for c in gen_codes)
         if stream:
-            audio = decode_new(gen_codes, n_valid)
+            audio = decode_new(gen_codes, n_valid, final=True)
             if audio is None or len(audio) == 0:
                 # everything already streamed: emit an empty final marker
                 audio = np.zeros((0,), np.float32)
@@ -972,32 +1063,16 @@ class Model(FunctionalModel):
         key, k0 = jax.random.split(key)
         tok0 = sample(k0, logits0 + suppress)
         cp = params["talker"]["code_predictor"]
-        cp_emb = cp["model"]["codec_embedding"]
         emb_fn = lambda ids: apply_embedding(
             params["talker"]["model"]["codec_embedding"], ids)
-        cp_caches = [
-            KVCache.init(b, n_groups + 2, cpcfg.num_key_value_heads,
-                         cpcfg.head_dim, hidden0.dtype)
-            for _ in range(cpcfg.num_hidden_layers)
-        ]
-        x = jnp.concatenate([hidden0[:, None], emb_fn(tok0[:, None])], axis=1)
-        codes = [tok0]
-        off = 0
-        for gi in range(n_groups - 1):
-            cl, cp_caches = code_predictor_forward(cp, cpcfg, x, cp_caches,
-                                                   off, gi)
-            off += x.shape[1]
-            key, kg = jax.random.split(key)
-            tok_g = sample(kg, cl)
-            codes.append(tok_g)
-            x = apply_embedding(cp_emb[str(gi)], tok_g[:, None])
-        all_codes = jnp.stack(codes, axis=-1)[0]  # (G,) batch 1
+        code0_embed = emb_fn(tok0[:, None])
+        cp_codes, cp_emb_sum, key = code_predictor_sample(
+            cp, cpcfg, hidden0[:, None], code0_embed, key, sample, n_groups)
+        all_codes = jnp.concatenate([tok0[:, None], cp_codes],
+                                    axis=-1)[0]  # (G,) batch 1
         text_e = trailing[:, 0:1]
         text_e = jnp.where(jnp.int32(0) < tl, text_e, pad_embed)
-        codec_e = emb_fn(tok0[:, None])
-        for gi in range(n_groups - 1):
-            codec_e = codec_e + apply_embedding(cp_emb[str(gi)],
-                                                codes[gi + 1][:, None])
+        codec_e = code0_embed + cp_emb_sum
         finished = tok0 == tcfg.codec_eos_token_id
         history = jnp.full((b, HISTORY_LEN), -1, jnp.int32).at[:, -1].set(tok0)
         carry = GenCarry(

@@ -83,17 +83,17 @@ class TestCodecDecoder:
 
 class TestTalker:
     def test_cached_decode_matches_full(self, model):
-        from mlx_audio_tpu.ops.kvcache import KVCache
-        from mlx_audio_tpu.tts.models.qwen3_tts.talker import talker_forward
+        from mlx_audio_tpu.tts.models.qwen3_tts.talker import (
+            make_stacked_caches, talker_forward)
 
         tcfg = model.tcfg
         rng = np.random.RandomState(3)
         embeds = jnp.asarray(rng.randn(1, 7, 32).astype(np.float32) * 0.1)
         full_logits, _, _ = talker_forward(model.params["talker"], tcfg,
                                            embeds, None, 0)
-        caches = [KVCache.init(1, 16, tcfg.num_key_value_heads, tcfg.head_dim,
-                               jnp.float32)
-                  for _ in range(tcfg.num_hidden_layers)]
+        caches = make_stacked_caches(
+            tcfg.num_hidden_layers, 1, 16, tcfg.num_key_value_heads,
+            tcfg.head_dim, jnp.float32)
         logits_p, _, caches = talker_forward(model.params["talker"], tcfg,
                                              embeds[:, :4], caches, 0)
         np.testing.assert_allclose(np.asarray(logits_p),

@@ -57,10 +57,13 @@ class TestTensorParallelLoad:
         tp = base_load_model(qwen3_dir, "tts", remap,
                              model_type="qwen3_tts", tensor_parallel=2)
         assert tp._mesh.shape["tp"] == 2
-        # q_proj rows actually live sharded over the tp axis
-        q = tp.params["talker"]["model"]["layers"]["0"]["self_attn"][
+        # q_proj out-features actually live sharded over the tp axis
+        # (layers are scan-stacked: (L, out, in) with L unsharded)
+        q = tp.params["talker"]["model"]["layers"]["self_attn"][
             "q_proj"]["weight"]
-        assert "tp" in str(q.sharding.spec)
+        assert q.ndim == 3
+        assert q.sharding.spec[1] == "tp"
+        assert q.sharding.spec[0] is None
         with tp._mesh:
             got = _generate(tp)
         assert got.shape == ref.shape
