@@ -194,6 +194,7 @@ def stft(
     Matches reference `dsp.stft` (dsp.py:369-417): input (..., T), returns
     complex64 (..., num_frames, n_fft // 2 + 1).
     """
+    eager = not isinstance(x, jax.core.Tracer)
     x = jnp.asarray(x)
     if hop_length is None:
         hop_length = n_fft // 4
@@ -203,7 +204,40 @@ def stft(
     if center:
         x = _pad_center(x, n_fft // 2, pad_mode)
     frames = frame_signal(x, n_fft, hop_length)
+    if eager and jax.default_backend() != "cpu":
+        # Eager complex ops are UNIMPLEMENTED on some TPU runtimes; fuse
+        # the rfft in a jit with REAL outputs and assemble complex on host.
+        re, im = _rfft_pair(frames * w)
+        return np.asarray(re) + 1j * np.asarray(im)
     return jnp.fft.rfft(frames * w)
+
+
+@jax.jit
+def _rfft_pair(frames: jnp.ndarray):
+    """Framed rfft with real-valued jit boundaries (complex stays fused)."""
+    spec = jnp.fft.rfft(frames)
+    return jnp.real(spec), jnp.imag(spec)
+
+
+@jax.jit
+def rfft_power(frames: jnp.ndarray) -> jnp.ndarray:
+    """|rfft(frames)|^2 with the complex intermediate fused inside jit —
+    safe to call eagerly on TPU runtimes without complex-buffer support."""
+    spec = jnp.fft.rfft(frames)
+    return jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+
+
+@jax.jit
+def _irfft_pair(re: jnp.ndarray, im: jnp.ndarray) -> jnp.ndarray:
+    return jnp.fft.irfft(jax.lax.complex(re, im), axis=-1)
+
+
+def spec_abs(spec) -> jnp.ndarray:
+    """Magnitude of an stft() result regardless of where it lives:
+    host numpy complex (TPU eager path) or device/tracer complex."""
+    if isinstance(spec, np.ndarray):
+        return jnp.asarray(np.abs(spec))
+    return jnp.abs(spec)
 
 
 def _identity_oa_kernel(win_length: int, dtype=jnp.float32) -> jnp.ndarray:
@@ -301,7 +335,15 @@ def istft(
         w = jnp.concatenate([w, jnp.zeros((win_length - w.shape[0],), dtype=w.dtype)])
 
     num_frames = x.shape[0]
-    frames_time = jnp.fft.irfft(x, axis=-1)[..., :win_length]
+    if not isinstance(x, jax.core.Tracer) and \
+            jax.default_backend() != "cpu" and not isinstance(x, jax.Array):
+        # eager host-complex input on a TPU runtime without complex-buffer
+        # support: keep the irfft's complex input fused inside a jit
+        xr = jnp.asarray(np.real(x), jnp.float32)
+        xi = jnp.asarray(np.imag(x), jnp.float32)
+        frames_time = _irfft_pair(xr, xi)[..., :win_length]
+    else:
+        frames_time = jnp.fft.irfft(x, axis=-1)[..., :win_length]
     reconstructed = overlap_add(frames_time * w, hop_length, win_length)
     if w_np is not None:
         env = jnp.asarray(_window_envelope_np(
@@ -904,7 +946,9 @@ def compute_fbank_kaldi(
     if padded != window_size:
         frames = jnp.pad(frames, [(0, 0), (0, padded - window_size)])
 
-    spectrum = jnp.abs(jnp.fft.rfft(frames, n=padded, axis=1)) ** 2.0
+    if frames.shape[1] != padded:
+        frames = jnp.pad(frames, [(0, 0), (0, padded - frames.shape[1])])
+    spectrum = rfft_power(frames)  # complex fused in-jit (TPU-safe eager)
     mel_banks, _ = get_mel_banks_kaldi(
         num_mels, padded, float(sample_rate), low_freq, high_freq
     )

@@ -42,7 +42,9 @@ def compute_mel_spectrogram(audio: jnp.ndarray) -> jnp.ndarray:
     x = jnp.pad(audio, (pad, pad))
     w = jnp.asarray(_window_np("hamming", N_FFT + 1, False)[:-1])
     frames = frame_signal(x, N_FFT, HOP_LENGTH) * w
-    spec = jnp.abs(jnp.fft.rfft(frames)) ** 2
+    from ....dsp import rfft_power
+
+    spec = rfft_power(frames)  # fused-jit rfft (TPU-safe when eager)
     fb = jnp.asarray(_mel_filters_np(SAMPLE_RATE, N_FFT, N_MELS, 0.0, None,
                                      None, "htk", False))
     mel = spec @ fb.T

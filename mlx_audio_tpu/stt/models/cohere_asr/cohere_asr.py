@@ -335,15 +335,20 @@ class Model(FunctionalModel):
         (reference audio.py:95-150). Inference is deterministic: the
         reference's dither noise is omitted.
         """
-        from ....dsp import stft
         pp = self.config.preprocessor
         x = np.asarray(audio, np.float32).reshape(-1)
         if pp.preemph and x.shape[0] > 1:
             x = np.concatenate([x[:1], x[1:] - pp.preemph * x[:-1]])
-        spec = stft(jnp.asarray(x), n_fft=pp.n_fft, hop_length=pp.hop_length,
-                    win_length=pp.n_fft, window=jnp.asarray(self._stft_window()),
-                    center=True, pad_mode="constant")
-        power = np.square(np.abs(np.asarray(spec)))            # (T', F)
+        # host-side framed rfft (this front-end is host numpy anyway, and
+        # eagerly materializing a complex device array is UNIMPLEMENTED on
+        # some TPU runtimes — complex values must stay inside fused jits)
+        pad = pp.n_fft // 2
+        xp = np.pad(x, (pad, pad))
+        n_frames = 1 + (len(xp) - pp.n_fft) // pp.hop_length
+        idx = (np.arange(pp.n_fft)[None, :]
+               + pp.hop_length * np.arange(n_frames)[:, None])
+        frames = xp[idx] * self._stft_window()[None, :]
+        power = np.square(np.abs(np.fft.rfft(frames, axis=-1)))  # (T', F)
         mel = power @ self._fb().T                              # (T', n_mels)
         if pp.log:
             mel = np.log(mel + LOG_GUARD)

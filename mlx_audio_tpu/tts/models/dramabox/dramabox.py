@@ -284,7 +284,7 @@ class Model(FunctionalModel):
                             window="hann")
             fb = dsp.mel_filters(a.latent_sample_rate, 1024, 64,
                                  norm="slaney", mel_scale="slaney")
-            mel = jnp.log(jnp.maximum(jnp.abs(spec) @ fb.T, 1e-5))
+            mel = jnp.log(jnp.maximum(dsp.spec_abs(spec) @ fb.T, 1e-5))
             mels.append(mel)
         spectrogram = jnp.stack(mels, axis=0)[None]   # (1, 2, F, 64)
         fn = self._jit_cache.get(("vae_enc", spectrogram.shape))

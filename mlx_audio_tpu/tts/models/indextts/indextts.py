@@ -114,7 +114,7 @@ def log_mel_spectrogram(audio, sample_rate: int = 24_000, n_mels: int = 100,
     """Magnitude (not power) mel with ln floor 1e-5 (reference mel.py:8)."""
     spec = dsp.stft(jnp.asarray(audio, jnp.float32), n_fft=n_fft,
                     hop_length=hop_length, win_length=n_fft, window="hann")
-    mag = jnp.abs(spec)
+    mag = dsp.spec_abs(spec)
     fb = dsp.mel_filters(sample_rate=sample_rate, n_fft=n_fft,
                          n_mels=n_mels, norm=None, mel_scale="htk")
     mel = mag @ fb.T
