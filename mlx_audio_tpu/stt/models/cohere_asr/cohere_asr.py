@@ -452,7 +452,10 @@ class Model(FunctionalModel):
                 mels.append(m)
                 lens.append(n)
             tb = _bucket(max(len(m) for m in mels), MEL_BUCKETS)
-            bb = _bucket(len(idxs), BATCH_BUCKETS)
+            # trailing partial batch reuses the full-batch program (padded
+            # rows are masked): one compiled (tb, bb) pair per run, not two
+            bb = _bucket(batch_size if len(order) > batch_size
+                         else len(idxs), BATCH_BUCKETS)
             feats = np.zeros((bb, tb, self.config.preprocessor.features),
                              np.float32)
             n_arr = np.zeros((bb,), np.int32)
