@@ -40,7 +40,9 @@ def top_k_top_p_filter(
     """Mask logits outside top-k / nucleus top-p / min-p to -inf. (B, V)."""
     vocab = logits.shape[-1]
     if top_k and top_k < vocab:
-        kth = jnp.sort(logits, axis=-1)[..., vocab - top_k]
+        # lax.top_k beats a full sort in both compile time and runtime —
+        # the kth-largest value is all the threshold needs
+        kth = jax.lax.top_k(logits, top_k)[0][..., -1]
         logits = jnp.where(logits < kth[..., None], -jnp.inf, logits)
     if min_p > 0.0:
         probs = jax.nn.softmax(logits, axis=-1)
