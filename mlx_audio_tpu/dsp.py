@@ -310,7 +310,14 @@ def istft(
         normalized: if True normalize by sum of window^2 (COLA, torch-style);
            else by sum of window.
     """
-    x = jnp.asarray(x)
+    # host numpy complex (the eager stft() result on TPU runtimes without
+    # complex-buffer support) must NOT be device-put as complex — keep it
+    # on host and fuse the irfft via _irfft_pair below
+    host_complex = isinstance(x, np.ndarray) and \
+        np.issubdtype(np.asarray(x).dtype, np.complexfloating) and \
+        jax.default_backend() != "cpu"
+    if not host_complex:
+        x = jnp.asarray(x)
     if win_length is None:
         win_length = (x.shape[1] - 1) * 2
     if hop_length is None:
@@ -335,12 +342,9 @@ def istft(
         w = jnp.concatenate([w, jnp.zeros((win_length - w.shape[0],), dtype=w.dtype)])
 
     num_frames = x.shape[0]
-    if not isinstance(x, jax.core.Tracer) and \
-            jax.default_backend() != "cpu" and not isinstance(x, jax.Array):
-        # eager host-complex input on a TPU runtime without complex-buffer
-        # support: keep the irfft's complex input fused inside a jit
-        xr = jnp.asarray(np.real(x), jnp.float32)
-        xi = jnp.asarray(np.imag(x), jnp.float32)
+    if host_complex:
+        xr = jnp.asarray(np.ascontiguousarray(np.real(x)), jnp.float32)
+        xi = jnp.asarray(np.ascontiguousarray(np.imag(x)), jnp.float32)
         frames_time = _irfft_pair(xr, xi)[..., :win_length]
     else:
         frames_time = jnp.fft.irfft(x, axis=-1)[..., :win_length]
