@@ -8,12 +8,17 @@ xla_force_host_platform_device_count.
 import os
 import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-xla_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (
-        xla_flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# MLX_AUDIO_TPU_TEST_BACKEND=tpu runs the suite against the real chip
+# (hardware smoke sweeps); default is the virtual 8-device CPU mesh.
+_BACKEND = os.environ.get("MLX_AUDIO_TPU_TEST_BACKEND", "cpu").lower()
+
+if _BACKEND != "tpu":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    xla_flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in xla_flags:
+        os.environ["XLA_FLAGS"] = (
+            xla_flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -21,7 +26,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # env var alone is not enough — override through the config API too.
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if _BACKEND != "tpu":
+    jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
