@@ -80,8 +80,11 @@ def generate_transcription(
             print(f"Loading model: {model_path}")
         model = load_model(model_path)
 
+    from ..utils import maybe_profile
+
     start = time.time()
-    output = model.generate(audio, **generate_kwargs)
+    with maybe_profile():
+        output = model.generate(audio, **generate_kwargs)
     wall = time.time() - start
 
     if verbose:

@@ -106,30 +106,39 @@ def generate_audio(
         print("Warning: --play requires an audio output device; "
               "falling back to file output.", file=sys.stderr)
 
+    from ..utils import maybe_profile
+    from contextlib import ExitStack
+
     results = []
     segments = []
     sample_rate = None
-    for result in model.generate(text, **gen_kwargs):
-        results.append(result)
-        sample_rate = result.sample_rate
-        audio = np.asarray(result.audio)
-        segments.append(audio)
-        if verbose:
-            print("=" * 10)
-            print(f"Segment {result.segment_idx}: {result.samples} samples, "
-                  f"{result.audio_duration}")
-            print(f"Prompt: {result.prompt['tokens']} tokens, "
-                  f"{result.prompt['tokens-per-sec']} tokens-per-sec")
-            print(f"Audio: {result.audio_samples['samples']} samples, "
-                  f"{result.audio_samples['samples-per-sec']} samples-per-sec")
-            print(f"Real-time factor: {result.real_time_factor:.2f}x")
-            print(f"Processing time: {result.processing_time_seconds:.2f}s")
-            print(f"Peak memory: {result.peak_memory_usage:.2f}GB")
-        if not join_audio:
-            fname = out_dir / f"{file_prefix}_{result.segment_idx:03d}.{audio_format}"
-            audio_io.write(fname, audio, result.sample_rate, format=audio_format)
+    with ExitStack() as _prof:
+        _prof.enter_context(maybe_profile())
+        for result in model.generate(text, **gen_kwargs):
+            results.append(result)
+            sample_rate = result.sample_rate
+            audio = np.asarray(result.audio)
+            segments.append(audio)
             if verbose:
-                print(f"✅ Audio saved to {fname}")
+                print("=" * 10)
+                print(f"Segment {result.segment_idx}: {result.samples} "
+                      f"samples, {result.audio_duration}")
+                print(f"Prompt: {result.prompt['tokens']} tokens, "
+                      f"{result.prompt['tokens-per-sec']} tokens-per-sec")
+                print(f"Audio: {result.audio_samples['samples']} samples, "
+                      f"{result.audio_samples['samples-per-sec']} "
+                      f"samples-per-sec")
+                print(f"Real-time factor: {result.real_time_factor:.2f}x")
+                print(f"Processing time: "
+                      f"{result.processing_time_seconds:.2f}s")
+                print(f"Peak memory: {result.peak_memory_usage:.2f}GB")
+            if not join_audio:
+                fname = out_dir / (f"{file_prefix}_"
+                                   f"{result.segment_idx:03d}.{audio_format}")
+                audio_io.write(fname, audio, result.sample_rate,
+                               format=audio_format)
+                if verbose:
+                    print(f"✅ Audio saved to {fname}")
 
     if join_audio and segments:
         joined = np.concatenate(segments)

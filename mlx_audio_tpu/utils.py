@@ -15,11 +15,13 @@ holding `params` on device in the requested dtype/sharding.
 
 from __future__ import annotations
 
+import contextlib
 import glob
 import importlib
 import importlib.util
 import json
 import logging
+import os
 import re
 from pathlib import Path
 from typing import Any, Callable, Dict, List, Optional, Union
@@ -525,3 +527,19 @@ def load_audio(
     if volume_normalize:
         audio = audio_volume_normalize(audio)
     return jnp.asarray(audio, dtype=jnp.float32)
+
+
+@contextlib.contextmanager
+def maybe_profile():
+    """`jax.profiler` trace around a generation when MLX_AUDIO_TPU_PROFILE
+    points at a directory (SURVEY §5.1 — the TPU-native replacement for the
+    reference's per-request metric prints is the result-schema telemetry
+    plus this opt-in XLA trace; view with tensorboard or xprof)."""
+    trace_dir = os.environ.get("MLX_AUDIO_TPU_PROFILE")
+    if not trace_dir:
+        yield
+        return
+    import jax
+
+    with jax.profiler.trace(trace_dir):
+        yield
