@@ -40,17 +40,26 @@ def bench_kokoro():
     model = Model(cfg).init_and_bind()
     rng = np.random.RandomState(0)
     ref_s = (rng.randn(1, 256) * 0.1).astype(np.float32)
-    alphabet = list(model.vocab.keys())
-    phonemes = "".join(rng.choice(alphabet[:30]) for _ in range(190))
+    # text in, G2P included in the measured wall (the reference's RTF also
+    # pays its misaki/espeak frontend)
+    from mlx_audio_tpu.tts.g2p import g2p
 
-    audio, _ = model(phonemes, ref_s, deterministic_noise=True)  # warmup
+    text = ("The quick brown fox jumps over the lazy dog while seventy "
+            "six trombones led the big parade down by the river bank.")
+
+    def synthesize():
+        phonemes = g2p(text)
+        phonemes = "".join(c for c in phonemes if c in model.vocab)
+        return model(phonemes, ref_s, deterministic_noise=True)
+
+    audio, _ = synthesize()  # warmup
     n_samples = len(audio)
     # best-of-N: the tunnel to the chip adds ±15-20% per-run jitter; the
     # minimum wall is the chip's actual steady-state latency
     walls = []
     for _ in range(5):
         t0 = time.perf_counter()
-        audio, _ = model(phonemes, ref_s, deterministic_noise=True)
+        audio, _ = synthesize()
         walls.append(time.perf_counter() - t0)
     wall = min(walls)
     xrt = (n_samples / model.config.sample_rate) / wall
