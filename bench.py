@@ -45,7 +45,11 @@ def bench_kokoro():
     from mlx_audio_tpu.tts.g2p import g2p
 
     text = ("The quick brown fox jumps over the lazy dog while seventy "
-            "six trombones led the big parade down by the river bank.")
+            "six trombones led the big parade down by the river bank. "
+            "Machine learning systems now synthesize natural speech in "
+            "real time on a single accelerator chip, streaming audio to "
+            "listeners across the planet with latency below the blink of "
+            "an eye.")
 
     def synthesize():
         phonemes = g2p(text)
