@@ -55,11 +55,18 @@ except ImportError as e:  # pragma: no cover
 
 
 class ModelProvider:
-    """Loads and caches models by (name, category)."""
+    """Loads and caches models by (name, category).
 
-    def __init__(self):
+    MLX_AUDIO_TPU_TENSOR_PARALLEL=N (or the server's --tensor-parallel
+    flag) makes every load TP-shard over an N-way mesh axis — the
+    scale-out path the single-device reference lacks (SURVEY §2.10)."""
+
+    def __init__(self, tensor_parallel: Optional[int] = None):
         self._models: Dict[str, Any] = {}
         self._lock = asyncio.Lock()
+        env_tp = os.environ.get("MLX_AUDIO_TPU_TENSOR_PARALLEL")
+        self.tensor_parallel = tensor_parallel or (
+            int(env_tp) if env_tp else None)
 
     def loaded(self) -> List[str]:
         return sorted(self._models)
@@ -73,9 +80,12 @@ class ModelProvider:
                 return self._models[name]
             from .utils import load_model
 
-            model = await asyncio.to_thread(load_model, name,
-                                            **({"category": category}
-                                               if category else {}))
+            kwargs: Dict[str, Any] = {}
+            if category:
+                kwargs["category"] = category
+            if self.tensor_parallel and self.tensor_parallel > 1:
+                kwargs["tensor_parallel"] = self.tensor_parallel
+            model = await asyncio.to_thread(load_model, name, **kwargs)
             self._models[name] = model
             return model
 
@@ -274,14 +284,16 @@ async def _drain_handle(handle, timeout: float = 600.0):
 
 
 class AudioServer:
-    def __init__(self):
-        self.provider = ModelProvider()
+    def __init__(self, tensor_parallel: Optional[int] = None):
+        self.provider = ModelProvider(tensor_parallel=tensor_parallel)
         self.broker = InferenceBroker()
         self.broker.register_adapter("tts", TTSExecutionAdapter(self.provider))
         self.broker.register_adapter("stt", STTExecutionAdapter(self.provider))
         self.broker.register_adapter(
             "separation", SeparationExecutionAdapter(self.provider))
-        self.app = web.Application(client_max_size=512 * 1024 * 1024)
+        self.app = web.Application(
+            client_max_size=512 * 1024 * 1024,
+            middlewares=[_cors_middleware])
         self._routes()
 
     def _routes(self):
@@ -767,17 +779,40 @@ class AudioServer:
         return ws
 
 
-def create_app() -> web.Application:
-    return AudioServer().app
+@web.middleware
+async def _cors_middleware(request, handler):
+    """MLX_AUDIO_ALLOWED_ORIGINS CORS bridge (reference server.py:140)."""
+    allowed = os.environ.get("MLX_AUDIO_ALLOWED_ORIGINS", "*")
+    origin = request.headers.get("Origin")
+    if request.method == "OPTIONS":
+        resp = web.Response(status=204)
+    else:
+        resp = await handler(request)
+    if origin and (allowed == "*"
+                   or origin in [o.strip() for o in allowed.split(",")]):
+        resp.headers["Access-Control-Allow-Origin"] = \
+            origin if allowed != "*" else "*"
+        resp.headers["Access-Control-Allow-Methods"] = \
+            "GET, POST, DELETE, OPTIONS"
+        resp.headers["Access-Control-Allow-Headers"] = \
+            "Content-Type, Authorization"
+    return resp
+
+
+def create_app(tensor_parallel: Optional[int] = None) -> web.Application:
+    return AudioServer(tensor_parallel=tensor_parallel).app
 
 
 def main(argv=None):
     parser = argparse.ArgumentParser(description="mlx_audio_tpu server")
     parser.add_argument("--host", default="0.0.0.0")
     parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--tensor-parallel", type=int, default=None,
+                        help="TP-shard every loaded model over N devices")
     args = parser.parse_args(argv)
     print(f"Studio UI available at http://{args.host}:{args.port}/")
-    web.run_app(create_app(), host=args.host, port=args.port)
+    web.run_app(create_app(tensor_parallel=args.tensor_parallel),
+                host=args.host, port=args.port)
 
 
 if __name__ == "__main__":

@@ -421,3 +421,39 @@ class TestStudioUI:
             server.broker.stop_and_join()
 
         _run(go())
+
+
+class TestServerConfig:
+    def test_cors_headers(self):
+        async def go():
+            import os
+
+            from aiohttp.test_utils import TestClient, TestServer
+
+            os.environ["MLX_AUDIO_ALLOWED_ORIGINS"] = "http://studio.local"
+            try:
+                server = _make_client_app()
+                async with TestClient(TestServer(server.app)) as client:
+                    r = await client.get(
+                        "/health", headers={"Origin": "http://studio.local"})
+                    assert r.headers.get("Access-Control-Allow-Origin") == \
+                        "http://studio.local"
+                    r2 = await client.get(
+                        "/health", headers={"Origin": "http://evil.example"})
+                    assert "Access-Control-Allow-Origin" not in r2.headers
+                    r3 = await client.options(
+                        "/v1/audio/speech",
+                        headers={"Origin": "http://studio.local"})
+                    assert r3.status == 204
+            finally:
+                os.environ.pop("MLX_AUDIO_ALLOWED_ORIGINS", None)
+            server.broker.stop_and_join()
+
+        _run(go())
+
+    def test_tensor_parallel_plumbed(self):
+        from mlx_audio_tpu.server import AudioServer
+
+        server = AudioServer(tensor_parallel=2)
+        assert server.provider.tensor_parallel == 2
+        server.broker.stop_and_join()
