@@ -69,7 +69,7 @@ def preprocess_features(c: PreprocessorConfig, audio: jnp.ndarray,
     spec = dsp.stft(audio, n_fft=c.n_fft, hop_length=c.hop_length,
                     win_length=c.win_length, window=c.window,
                     center=True, pad_mode="constant")
-    power = jnp.abs(spec) ** 2
+    power = dsp.spec_abs(spec) ** 2
     mel = power @ mel_fb.T
     if c.log:
         mel = jnp.log(mel + 5.96e-8)  # 2^-24 guard (reference :112-113)

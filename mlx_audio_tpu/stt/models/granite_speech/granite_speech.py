@@ -356,7 +356,7 @@ class Model(FunctionalModel):
 
     def _extract_features(self, audio) -> Tuple[np.ndarray, int]:
         """Audio -> ((T, 160) stacked log-mel, num_audio_tokens)."""
-        from ....dsp import hanning, mel_filters, stft
+        from ....dsp import hanning, mel_filters, spec_abs, stft
 
         wav = jnp.asarray(np.asarray(audio, np.float32).reshape(-1))
         n_fft, win_length, hop = 512, 400, 160
@@ -367,7 +367,7 @@ class Model(FunctionalModel):
                                jnp.zeros(n_fft - win_length - pad_l)])
         spec = stft(wav, n_fft=n_fft, hop_length=hop, window=win,
                     center=True, pad_mode="reflect")
-        power = jnp.abs(spec) ** 2
+        power = spec_abs(spec) ** 2
         fb = mel_filters(16000, n_fft, n_mels, mel_scale="htk")
         logmel = jnp.log10(jnp.clip(power @ fb.T, 1e-10, None))
         logmel = jnp.maximum(logmel, logmel.max() - 8.0) / 4.0 + 1.0

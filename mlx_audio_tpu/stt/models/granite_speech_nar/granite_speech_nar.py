@@ -435,7 +435,7 @@ class Model(FunctionalModel):
     def _extract_features(self, audio) -> np.ndarray:
         """(T,) 16 kHz mono -> (T_enc, 160) stacked log-mel (same recipe as
         granite_speech 4.0)."""
-        from ....dsp import hanning, mel_filters, stft
+        from ....dsp import hanning, mel_filters, spec_abs, stft
 
         wav = jnp.asarray(np.asarray(audio, np.float32).reshape(-1))
         n_fft, win_length, hop = 512, 400, 160
@@ -446,7 +446,7 @@ class Model(FunctionalModel):
                                jnp.zeros(n_fft - win_length - pad_l)])
         spec = stft(wav, n_fft=n_fft, hop_length=hop, window=win,
                     center=True, pad_mode="reflect")
-        power = jnp.abs(spec) ** 2
+        power = spec_abs(spec) ** 2
         fb = mel_filters(16000, n_fft, n_mels, mel_scale="htk",
                          precise=True)
         n_keep = 2 * (wav.shape[0] // (2 * hop))

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ....dsp import mel_filters, stft
+from ....dsp import mel_filters, spec_abs, stft
 from ....nn import apply_conv1d, apply_layer_norm, apply_linear
 from ....ops.attention import attention
 
@@ -36,7 +36,7 @@ def log_mel80(audio: Array) -> Array:
     win = np.hanning(401)[:-1].astype(np.float32)
     spec = stft(audio, n_fft=400, hop_length=160, win_length=400,
                 window=jnp.asarray(win), center=True, pad_mode="reflect")
-    power = jnp.abs(spec) ** 2.0
+    power = spec_abs(spec) ** 2.0
     fb = mel_filters(16000, 400, 80, f_min=0.0, f_max=8000.0,
                      norm="slaney", mel_scale="slaney")
     mel = power @ fb.T

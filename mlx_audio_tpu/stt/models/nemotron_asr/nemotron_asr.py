@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ....base import BaseModelArgs
-from ....dsp import mel_filters, stft
+from ....dsp import mel_filters, spec_abs, stft
 from ....model import FunctionalModel
 from ....nn import (apply_embedding, apply_layer_norm, apply_linear,
                     init_conv1d, init_embedding, init_layer_norm,
@@ -191,7 +191,7 @@ def nemo_log_mel(audio: Array, pp: PreprocessArgs) -> Array:
     spec = stft(x, n_fft=pp.n_fft, hop_length=pp.hop_length,
                 win_length=pp.n_fft, window=jnp.asarray(win),
                 center=True, pad_mode="constant")
-    power = jnp.abs(spec) ** 2
+    power = spec_abs(spec) ** 2
     fb = mel_filters(pp.sample_rate, pp.n_fft, pp.features, norm="slaney",
                      mel_scale="slaney")
     return jnp.log(power @ fb.T + pp.log_zero_guard_value)

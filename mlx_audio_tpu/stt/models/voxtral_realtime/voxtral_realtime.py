@@ -36,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ....base import BaseModelArgs
-from ....dsp import mel_filters, stft
+from ....dsp import mel_filters, spec_abs, stft
 from ....model import FunctionalModel
 from ....nn import (apply_embedding, apply_linear, apply_rms_norm,
                     init_embedding, init_linear, init_rms_norm)
@@ -195,7 +195,7 @@ def voxtral_mel(audio: Array, aec: AudioEncodingConfig) -> Array:
     spec = stft(jnp.asarray(audio, jnp.float32), n_fft=aec.window_size,
                 hop_length=aec.hop_length, win_length=aec.window_size,
                 window=jnp.asarray(win), center=True, pad_mode="reflect")
-    power = jnp.abs(spec[:-1]) ** 2
+    power = spec_abs(spec[:-1]) ** 2
     fb = mel_filters(aec.sampling_rate, aec.window_size, aec.num_mel_bins,
                      f_min=0, f_max=8000, norm="slaney",
                      mel_scale="slaney")

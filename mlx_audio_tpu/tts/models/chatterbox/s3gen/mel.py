@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .....dsp import mel_filters, stft
+from .....dsp import mel_filters, spec_abs, stft
 
 
 def mel_spectrogram(y, n_fft: int = 1920, num_mels: int = 80,
@@ -23,7 +23,7 @@ def mel_spectrogram(y, n_fft: int = 1920, num_mels: int = 80,
                          y[:, -(pad + 1):-1][:, ::-1]], axis=1)
     spec = stft(y, n_fft=n_fft, hop_length=hop_size, win_length=win_size,
                 window="hann", center=False)
-    mag = jnp.abs(spec)                             # (B, T', F)
+    mag = spec_abs(spec)                             # (B, T', F)
     fb = mel_filters(sampling_rate, n_fft, num_mels, f_min=fmin,
                      f_max=fmax, norm="slaney", mel_scale="slaney")
     mel = mag @ fb.T

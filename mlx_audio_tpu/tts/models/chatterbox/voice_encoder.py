@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ....dsp import mel_filters, stft
+from ....dsp import mel_filters, spec_abs, stft
 from ....nn import apply_linear, init_linear
 from ....nn.recurrent import init_lstm
 
@@ -31,7 +31,7 @@ def ve_melspectrogram(wav: np.ndarray) -> np.ndarray:
     """(T,) 16 kHz -> (frames, 40) amplitude^2 mel (melspec.py)."""
     spec = stft(jnp.asarray(wav, jnp.float32), n_fft=400, hop_length=160,
                 win_length=400, window="hann")
-    mag = jnp.abs(spec) ** 2.0
+    mag = spec_abs(spec) ** 2.0
     fb = mel_filters(16000, 400, VE_MELS, f_min=0, f_max=8000,
                      norm="slaney", mel_scale="slaney")
     return np.asarray(mag @ fb.T)

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ....dsp import hanning, mel_filters, stft
+from ....dsp import hanning, mel_filters, spec_abs, stft
 from ....model import FunctionalModel
 from ....nn import (
     apply_conv1d,
@@ -71,7 +71,7 @@ def mel_spectrogram(audio: Array, mel: "MelParams") -> Array:
     window = hanning(mel.win_length + 1)[:-1]
     spec = stft(x, n_fft=mel.n_fft, hop_length=mel.hop_length,
                 win_length=mel.win_length, window=window)
-    mag = jnp.abs(spec)
+    mag = spec_abs(spec)
     fb = mel_filters(sample_rate=mel.sample_rate, n_fft=mel.n_fft,
                      n_mels=mel.num_mels, f_min=mel.mel_fmin,
                      f_max=mel.mel_fmax, norm="slaney", mel_scale="slaney")
