@@ -301,6 +301,7 @@ class AudioServer:
         r.add_get("/health", self.health)
         r.add_get("/v1/models", self.list_models)
         r.add_post("/v1/models", self.load_model_ep)
+        r.add_delete("/v1/models", self.unload_model_body_ep)
         r.add_delete("/v1/models/{model_id:.*}", self.unload_model_ep)
         r.add_get("/v1/audio/voices", self.list_voices)
         r.add_post("/v1/audio/speech", self.tts_speech)
@@ -354,6 +355,24 @@ class AudioServer:
 
     async def unload_model_ep(self, request):
         name = request.match_info["model_id"]
+        if not self.provider.unload(name):
+            return web.json_response({"error": f"model not loaded: {name}"},
+                                     status=404)
+        return web.json_response({"deleted": True, "id": name})
+
+    async def unload_model_body_ep(self, request):
+        """DELETE /v1/models with {'model': name} body or ?model= query
+        (reference server.py:910)."""
+        name = request.query.get("model")
+        if not name:
+            try:
+                body = await request.json()
+                name = body.get("model")
+            except Exception:
+                name = None
+        if not name:
+            return web.json_response({"error": "missing 'model'"},
+                                     status=400)
         if not self.provider.unload(name):
             return web.json_response({"error": f"model not loaded: {name}"},
                                      status=404)

@@ -457,3 +457,19 @@ class TestServerConfig:
         server = AudioServer(tensor_parallel=2)
         assert server.provider.tensor_parallel == 2
         server.broker.stop_and_join()
+
+    def test_unload_via_body(self):
+        async def go():
+            from aiohttp.test_utils import TestClient, TestServer
+
+            server = _make_client_app()
+            async with TestClient(TestServer(server.app)) as client:
+                r = await client.delete("/v1/models",
+                                        json={"model": "fake-tts"})
+                assert r.status == 200
+                assert (await r.json())["deleted"] is True
+                r2 = await client.delete("/v1/models?model=fake-tts")
+                assert r2.status == 404  # already unloaded
+            server.broker.stop_and_join()
+
+        _run(go())
