@@ -43,8 +43,11 @@ class TestGPT:
         for i in range(7, 10):
             lg, caches = gpt_step(p, TINY, jnp.asarray(toks[:, i:i + 1]),
                                   jnp.int32(i), caches)
+        # TPU default matmul precision (bf16 passes) separates the two
+        # computation orders by ~5e-3; CPU stays at f32
+        atol = 2e-4 if jax.default_backend() == "cpu" else 2e-2
         np.testing.assert_allclose(np.asarray(lg), np.asarray(lg_full),
-                                   atol=2e-4)
+                                   atol=atol)
 
     def test_prefill_padding_invariance(self):
         p = init_gpt(jax.random.PRNGKey(1), TINY)
