@@ -110,7 +110,9 @@ class Vocos(FunctionalModel):
         mag = jnp.clip(jnp.exp(mag), None, 1e2)
         real = mag * jnp.cos(phase)
         imag = mag * jnp.sin(phase)
-        frames_time = jnp.fft.irfft(real + 1j * imag, n=c.n_fft, axis=-1)
+        from ....dsp import irfft_pair
+
+        frames_time = irfft_pair(real, imag, n=c.n_fft)
         w_np = _window_np("hann", c.n_fft, False)
         w = jnp.asarray(w_np)
         rec = overlap_add(frames_time * w, c.hop_length, c.n_fft)

@@ -232,6 +232,16 @@ def _irfft_pair(re: jnp.ndarray, im: jnp.ndarray) -> jnp.ndarray:
     return jnp.fft.irfft(jax.lax.complex(re, im), axis=-1)
 
 
+@partial(jax.jit, static_argnames=("n",))
+def irfft_pair(re: jnp.ndarray, im: jnp.ndarray,
+               n: Optional[int] = None) -> jnp.ndarray:
+    """irfft of (real, imag) parts with the complex value fused in-jit —
+    the eager-safe replacement for `jnp.fft.irfft(re + 1j*im)` on TPU
+    runtimes without complex-buffer support. Inlines when traced."""
+    return jnp.fft.irfft(jax.lax.complex(
+        re.astype(jnp.float32), im.astype(jnp.float32)), n=n, axis=-1)
+
+
 def spec_abs(spec) -> jnp.ndarray:
     """Magnitude of an stft() result regardless of where it lives:
     host numpy complex (TPU eager path) or device/tracer complex."""

@@ -163,10 +163,11 @@ def detokenize_frames(params: dict, c: DetokenizerConfig, codes: Array,
     log_mag = jnp.clip(spec[..., :n_bins], -30.0, 20.0)
     phase = spec[..., n_bins:]
     mag = jnp.exp(log_mag)
-    stft_c = mag * jnp.cos(phase) + 1j * mag * jnp.sin(phase)
-
     # COLA-normalized ISTFT, "same" padding trim (reference :482-507)
-    frames_time = jnp.fft.irfft(stft_c, n=c.n_fft, axis=-1)
+    from ....dsp import irfft_pair
+
+    frames_time = irfft_pair(mag * jnp.cos(phase), mag * jnp.sin(phase),
+                             n=c.n_fft)
     from ....dsp import overlap_add
 
     n_frames = frames_time.shape[1]

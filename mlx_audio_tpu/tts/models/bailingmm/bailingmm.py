@@ -219,8 +219,10 @@ def istft_head_forward(p: dict, x: Array, n_fft: int, hop: int,
     pred = apply_linear(p["out"], x)          # (B, T, n_fft + 2)
     mag, phase = jnp.split(pred, 2, axis=-1)
     mag = jnp.clip(jnp.exp(mag), None, 1e2)
-    spec = mag * jnp.exp(1j * phase.astype(jnp.float32))
-    frames = jnp.fft.irfft(spec, n=n_fft, axis=-1).astype(jnp.float32)
+    from ....dsp import irfft_pair
+
+    frames = irfft_pair(mag * jnp.cos(phase), mag * jnp.sin(phase),
+                        n=n_fft).astype(jnp.float32)
     frames = frames * window[None, None, :]
     audio = overlap_add(frames, hop, n_fft)
     wsq = jnp.broadcast_to((window * window)[None, None, :], frames.shape)

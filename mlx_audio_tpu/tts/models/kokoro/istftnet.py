@@ -231,7 +231,9 @@ def _istft_from_mag_phase(mag: Array, phase: Array, n_fft: int, hop: int):
     w = jnp.asarray(w_np)
     real = mag * jnp.cos(phase)
     imag = mag * jnp.sin(phase)
-    frames_time = jnp.fft.irfft(real + 1j * imag, n=n_fft, axis=-1)
+    from ....dsp import irfft_pair
+
+    frames_time = irfft_pair(real, imag, n=n_fft)
     rec = overlap_add(frames_time * w, hop, n_fft)
     env_np = _window_envelope_np(tuple(w_np.tolist()), mag.shape[-2], hop,
                                  n_fft, False)
