@@ -33,8 +33,15 @@ def generate_sts(
     result = model.generate(audio, **kwargs)
     wall = time.time() - start
 
-    out = np.asarray(result.audio if hasattr(result, "audio") else result)
-    sr = getattr(result, "sample_rate", getattr(model, "sample_rate", 24000))
+    if isinstance(result, dict):
+        out = np.asarray(result.get("audio"))
+        sr = result.get("sample_rate",
+                        getattr(model, "sample_rate", 24000))
+    else:
+        out = np.asarray(result.audio if hasattr(result, "audio")
+                         else result)
+        sr = getattr(result, "sample_rate",
+                     getattr(model, "sample_rate", 24000))
     audio_io.write(output_path, out.reshape(-1), int(sr))
     if verbose:
         print(f"✅ Output saved to {output_path} ({wall:.2f}s)")
