@@ -174,10 +174,10 @@ def _upload_to_hub(path: Path, upload_repo: str) -> None:
 def main(argv=None):
     parser = argparse.ArgumentParser(
         description="Convert audio models to mlx_audio_tpu format")
-    parser.add_argument("--hf-path", "--hf_path", dest="hf_path",
+    parser.add_argument("--hf-path", "--hf_path", "--model", dest="hf_path",
                         required=True)
-    parser.add_argument("--mlx-path", "--mlx_path", dest="mlx_path",
-                        default="mlx_model")
+    parser.add_argument("--mlx-path", "--mlx_path", "--output",
+                        dest="mlx_path", default="mlx_model")
     parser.add_argument("--dtype", default="bfloat16",
                         choices=MODEL_CONVERSION_DTYPES)
     parser.add_argument("-q", "--quantize", action="store_true")
