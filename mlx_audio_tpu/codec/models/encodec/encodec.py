@@ -229,8 +229,10 @@ class Encodec(FunctionalModel):
     def sanitize(self, weights):
         """HF EncodecModel keys -> functional tree: conv layouts, LSTM
         sublayer remap, codebook embed_sum/cluster_size reconstruction."""
-        from ....nn.layers import convert_torch_conv_transpose_weight
+        from ....nn.layers import (convert_torch_conv_transpose_weight,
+                                   fold_torch_weight_norm)
 
+        weights = fold_torch_weight_norm(weights)
         out = {}
         codebooks = {}
         n_up = len(self.config.upsampling_ratios)
@@ -249,6 +251,9 @@ class Encodec(FunctionalModel):
                     "sum" if "embed_sum" in k else "usage"] = np.asarray(w)
                 continue
             if "codebook.inited" in k or "codebook.initialized" in k:
+                continue
+            if k.endswith(".codebook.embed"):  # direct codebook buffer
+                out[k + ".weight"] = w
                 continue
             # LSTM: HF weight_ih_l{n} -> lstm.{n}.weight_ih
             for n in range(self.config.num_lstm_layers):

@@ -95,6 +95,52 @@ class MimiConfig(BaseModelArgs):
                 k: v for k, v in self.transformer.items()
                 if k in TransformerConfig.__dataclass_fields__})
 
+    @classmethod
+    def from_dict(cls, config: dict):
+        """Accept both the kyutai-style nested config and the HF-transformers
+        `MimiConfig` flat schema (the canonical `kyutai/mimi` hub repo)."""
+        if isinstance(config, dict) and (
+                "upsampling_ratios" in config or "num_filters" in config):
+            hidden = config.get("hidden_size", 512)
+            sr = config.get("sampling_rate", 24000)
+            ratios = list(config.get("upsampling_ratios", [8, 6, 5, 4]))
+            # HF MimiModel's frame-rate downsampler is a fixed stride-2 conv;
+            # config.frame_rate is a computed property absent from to_dict()
+            frame_rate = config.get(
+                "frame_rate", sr / float(math.prod(ratios)) / 2.0)
+            return cls(
+                channels=config.get("audio_channels", 1),
+                sample_rate=sr,
+                frame_rate=frame_rate,
+                seanet=dict(
+                    dimension=hidden,
+                    channels=config.get("audio_channels", 1),
+                    causal=config.get("use_causal_conv", True),
+                    nfilters=config.get("num_filters", 64),
+                    nresidual_layers=config.get("num_residual_layers", 1),
+                    ratios=list(config.get("upsampling_ratios",
+                                           [8, 6, 5, 4])),
+                    ksize=config.get("kernel_size", 7),
+                    residual_ksize=config.get("residual_kernel_size", 3),
+                    last_ksize=config.get("last_kernel_size", 3),
+                    dilation_base=config.get("dilation_growth_rate", 2),
+                    pad_mode=config.get("pad_mode", "constant"),
+                    compress=config.get("compress", 2)),
+                transformer=dict(
+                    d_model=hidden,
+                    num_heads=config.get("num_attention_heads", 8),
+                    num_layers=config.get("num_hidden_layers", 8),
+                    layer_scale=config.get("layer_scale_initial_scale", 0.01),
+                    context=config.get("sliding_window", 250),
+                    max_period=config.get("rope_theta", 10000.0),
+                    dim_feedforward=config.get("intermediate_size", 2048)),
+                quantizer_nq=config.get("num_quantizers", 16),
+                quantizer_bins=config.get("codebook_size", 2048),
+                quantizer_dim=config.get(
+                    "vector_quantization_hidden_dimension", 256),
+                model_path=config.get("model_path", ""))
+        return super().from_dict(config)
+
 
 def mimi_202407(num_codebooks: int = 16) -> MimiConfig:
     return MimiConfig(quantizer_nq=num_codebooks)
@@ -531,12 +577,112 @@ class Mimi(FunctionalModel):
 
     # -- weights -------------------------------------------------------------
 
+    def _remap_hf(self, weights):
+        """HF-transformers `MimiModel` keys (the canonical `kyutai/mimi` hub
+        repo) -> this tree's kyutai-style names. HF flattens the SEANet
+        blocks and ELUs into one indexed layer list; rebuild the index maps
+        from the config, fuse q/k/v into in_proj, and rename the split-RVQ
+        prefixes. Layout conversion happens in the main sanitize loop."""
+        import re
+
+        s = self.config.seanet
+        R, nres = len(s.ratios), s.nresidual_layers
+        enc, dec = {0: "encoder.init_conv1d.conv"}, \
+                   {0: "decoder.init_conv1d.conv"}
+        res_enc, res_dec = {}, {}
+        idx = 1
+        for g in range(R):
+            for j in range(nres):
+                res_enc[idx] = f"encoder.layers.{g}.residuals.{j}"
+                idx += 1
+            idx += 1  # ELU
+            enc[idx] = f"encoder.layers.{g}.downsample.conv"
+            idx += 1
+        enc[idx + 1] = "encoder.final_conv1d.conv"
+        idx = 1
+        for g in range(R):
+            idx += 1  # ELU
+            dec[idx] = f"decoder.layers.{g}.upsample.conv"
+            idx += 1
+            for j in range(nres):
+                res_dec[idx] = f"decoder.layers.{g}.residuals.{j}"
+                idx += 1
+        dec[idx + 1] = "decoder.final_conv1d.conv"
+
+        out = {}
+        qkv = {}
+        for k, w in weights.items():
+            m = re.match(r"^(encoder|decoder)\.layers\.(\d+)\."
+                         r"(?:block\.(\d+)\.)?conv\.(weight|bias)$", k)
+            if m:
+                side, i, b, leaf = m.group(1), int(m.group(2)), m.group(3), \
+                    m.group(4)
+                if b is not None:  # resnet block: HF 1/3 -> ours 0/1
+                    base = (res_enc if side == "encoder" else res_dec)[i]
+                    out[f"{base}.block.{0 if int(b) == 1 else 1}.{leaf}"] = w
+                else:
+                    base = (enc if side == "encoder" else dec)[i]
+                    out[f"{base}.{leaf}"] = w
+                continue
+            m = re.match(r"^(encoder|decoder)_transformer\.layers\.(\d+)\.(.+)$",
+                         k)
+            if m:
+                tfm, i, rest = m.group(1) + "_transformer", m.group(2), \
+                    m.group(3)
+                pre = f"{tfm}.transformer.layers.{i}"
+                ren = {
+                    "input_layernorm.weight": "norm1.weight",
+                    "input_layernorm.bias": "norm1.bias",
+                    "post_attention_layernorm.weight": "norm2.weight",
+                    "post_attention_layernorm.bias": "norm2.bias",
+                    "mlp.fc1.weight": "linear1.weight",
+                    "mlp.fc2.weight": "linear2.weight",
+                    "self_attn_layer_scale.scale": "layer_scale_1.scale",
+                    "mlp_layer_scale.scale": "layer_scale_2.scale",
+                    "self_attn.o_proj.weight": "self_attn.out_proj.weight",
+                }
+                if rest in ren:
+                    out[f"{pre}.{ren[rest]}"] = w
+                    continue
+                m2 = re.match(r"^self_attn\.([qkv])_proj\.weight$", rest)
+                if m2:
+                    qkv.setdefault(pre, {})[m2.group(1)] = np.asarray(w)
+                    continue
+            if k.startswith("quantizer.semantic_residual_vector_quantizer."):
+                out["quantizer.rvq_first." + k.split(".", 2)[2].replace(
+                    "layers.", "vq.layers.", 1)] = w
+                continue
+            if k.startswith("quantizer.acoustic_residual_vector_quantizer."):
+                out["quantizer.rvq_rest." + k.split(".", 2)[2].replace(
+                    "layers.", "vq.layers.", 1)] = w
+                continue
+            if k == "downsample.conv.weight":
+                out["downsample.conv.conv.weight"] = w
+                continue
+            if k == "upsample.conv.weight":
+                out["upsample.convtr.convtr.weight"] = w
+                continue
+            out[k] = w
+        for pre, d in qkv.items():
+            if not (d["q"].shape == d["k"].shape == d["v"].shape):
+                raise ValueError(
+                    "mimi: GQA checkpoints (num_key_value_heads != "
+                    "num_attention_heads) are not supported; got q/k/v "
+                    f"shapes {d['q'].shape}/{d['k'].shape}/{d['v'].shape}")
+            out[f"{pre}.self_attn.in_proj.weight"] = np.concatenate(
+                [d["q"], d["k"], d["v"]], axis=0)
+        return out
+
     def sanitize(self, weights):
         """Map kyutai/HF mimi checkpoints: strip leading underscores, conv
         layouts to WIO / pre-flipped transposed kernels, codebook
         reconstruction from cluster_usage/embedding_sum."""
         from ....nn.layers import convert_torch_conv_transpose_weight
 
+        if any(".self_attn.q_proj." in k or k.startswith(
+                "quantizer.semantic_residual_vector_quantizer.")
+                for k in weights):
+            weights = self._remap_hf(weights)
         out = {}
         codebooks: Dict[str, dict] = {}
         for k, w in weights.items():

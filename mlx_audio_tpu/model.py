@@ -45,6 +45,43 @@ class FunctionalModel:
         self.bind(self.init_params(key))
         return self
 
+    @classmethod
+    def from_pretrained(cls, path_or_repo, filename: Optional[str] = None,
+                        dtype=None, **config_overrides) -> "FunctionalModel":
+        """Load a checkpoint directly into this family: resolve the path
+        (local dir or HF repo id), read config.json when present, then
+        sanitize + bind the weights. Mirrors the per-family
+        `from_pretrained` classmethods on the reference codec models
+        (e.g. reference codec/models/mimi/mimi.py:265,
+        codec/models/snac/snac.py:185); `filename` optionally restricts
+        loading to one weight file inside the checkpoint."""
+        from .utils import (get_model_path, load_config, load_weights,
+                            unflatten)
+
+        path = get_model_path(str(path_or_repo))
+        try:
+            config = load_config(path)
+        except FileNotFoundError:
+            config = {}
+        config.update(config_overrides)
+        model = cls(config) if config else cls()
+        if filename is not None:
+            from safetensors import safe_open
+
+            weights = {}
+            with safe_open(str(path / filename), framework="numpy") as f:
+                for k in f.keys():
+                    weights[k] = jnp.asarray(f.get_tensor(k))
+        else:
+            weights = load_weights(path, dtype=dtype)
+        pre_converted = config.get("converted_by") == "mlx_audio_tpu.convert"
+        if not pre_converted:
+            weights = model.sanitize(weights)
+        model.bind(unflatten(dict(weights)))
+        if dtype is not None:
+            model.astype(dtype)
+        return model
+
     # -- utilities ---------------------------------------------------------
 
     def astype(self, dtype) -> "FunctionalModel":

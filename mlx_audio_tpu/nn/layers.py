@@ -200,6 +200,42 @@ def init_conv_transpose1d(key, in_ch: int, out_ch: int, kernel: int,
     return p
 
 
+def fold_torch_weight_norm(weights: dict) -> dict:
+    """Fold torch weight-norm serializations into plain `.weight` keys.
+
+    Handles both the legacy `X.weight_g`/`X.weight_v` pair and the torch>=2.1
+    parametrization form `X.parametrizations.weight.original0/original1`
+    (w = g * v / ||v||, norm over all dims except 0). Keys without a matching
+    pair pass through untouched, so this is a safe pre-pass for any sanitize.
+    """
+    import numpy as np
+
+    out = {}
+    consumed = set()
+    for k in weights:
+        base = None
+        if k.endswith(".parametrizations.weight.original1"):
+            base = k[: -len(".parametrizations.weight.original1")]
+            gk = base + ".parametrizations.weight.original0"
+        elif k.endswith(".weight_v"):
+            base = k[: -len(".weight_v")]
+            gk = base + ".weight_g"
+        if base is None:
+            continue
+        if gk in weights:
+            g = np.asarray(weights[gk], dtype=np.float32)
+            v = np.asarray(weights[k], dtype=np.float32)
+            norm = np.sqrt(np.sum(
+                v * v, axis=tuple(range(1, v.ndim)), keepdims=True))
+            out[base + ".weight"] = (g * v / np.maximum(norm, 1e-12)).astype(
+                np.float32)
+            consumed.update((k, gk))
+    for k, w in weights.items():
+        if k not in consumed:
+            out.setdefault(k, w)
+    return out
+
+
 def convert_torch_conv_transpose_weight(w, groups: int = 1) -> Array:
     """torch ConvTranspose1d weight (I, O/g, W) -> pre-flipped WIO kernel
     (W, I/g, O). We store the *equivalent forward-conv* kernel so transposed
