@@ -295,13 +295,21 @@ class Model(FunctionalModel):
         out = {}
         for k, v in weights.items():
             v = jnp.asarray(v)
-            if k.endswith("rotary_emb.inv_freq") or \
-                    "embed_positions" in k:
-                continue   # positions are fixed sinusoids
+            if k.endswith("rotary_emb.inv_freq"):
+                continue
+            if "embed_positions" in k:
+                # keep the checkpoint's position table under the tree's name
+                out["audio_tower.embed_positions.weight"] = v
+                continue
             if "conv" in k and k.endswith("weight") and v.ndim == 3 \
                     and v.shape[0] > v.shape[-1]:
                 v = jnp.transpose(v, (2, 1, 0))
             out[k] = v
+        if "audio_tower.embed_positions.weight" not in out:
+            # checkpoints that omit the table get whisper sinusoids
+            a = self.config.audio
+            out["audio_tower.embed_positions.weight"] = jnp.asarray(
+                sinusoids(a.max_source_positions + 1, a.d_model))
         return out
 
     def model_quant_predicate(self, path, w):

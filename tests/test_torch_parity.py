@@ -271,3 +271,77 @@ class TestMimiTorchParity:
         np.testing.assert_array_equal(np.asarray(loaded.encode(audio)),
                                       np.asarray(model.encode(audio)))
 
+
+# ---------------------------------------------------------------------------
+# Qwen2-Audio: audio tower + projector + LM logits through sanitize()
+# ---------------------------------------------------------------------------
+
+
+class TestQwen2AudioTorchParity:
+    @pytest.fixture(scope="class")
+    def pair(self):
+        from transformers import (Qwen2AudioConfig,
+                                  Qwen2AudioForConditionalGeneration)
+
+        from mlx_audio_tpu.stt.models.qwen2_audio import Model
+        from mlx_audio_tpu.utils import unflatten
+
+        torch.manual_seed(3)
+        hf_cfg = Qwen2AudioConfig(
+            audio_config=dict(
+                num_mel_bins=16, encoder_layers=2, encoder_attention_heads=2,
+                encoder_ffn_dim=32, d_model=16, max_source_positions=1500,
+                scale_embedding=False, activation_function="gelu"),
+            text_config=dict(
+                hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+                num_key_value_heads=2, intermediate_size=64, vocab_size=300,
+                max_position_embeddings=128, rope_theta=10000.0,
+                tie_word_embeddings=False),
+            audio_token_index=290)
+        hf = Qwen2AudioForConditionalGeneration(hf_cfg).eval()
+
+        cfg = hf_cfg.to_dict()
+        model = Model(dict(
+            audio_config=cfg["audio_config"], text_config=cfg["text_config"],
+            audio_token_id=290))
+        flat = model.sanitize({k: _np(v) for k, v in hf.state_dict().items()})
+        model.bind(unflatten({k: jnp.asarray(v) for k, v in flat.items()}))
+        return hf, model
+
+    def test_audio_tower_and_projector_match(self, pair):
+        from mlx_audio_tpu.stt.models.whisper.audio import (
+            N_FRAMES, log_mel_spectrogram)
+
+        hf, model = pair
+        wav = (0.1 * np.random.RandomState(9).randn(16000)).astype(np.float32)
+        embeds, n_tok = model.get_audio_embeds(wav)
+        # identical mel into the HF tower (bypasses feature-extractor drift)
+        mel = np.zeros((N_FRAMES, 16), np.float32)
+        m = np.asarray(log_mel_spectrogram(wav, n_mels=16))
+        mel[: m.shape[0]] = m[:N_FRAMES]
+        with torch.no_grad():
+            feats = hf.audio_tower(
+                torch.from_numpy(mel.T[None])).last_hidden_state
+            ref = _np(hf.multi_modal_projector(feats))[0]
+        ours = np.asarray(embeds)
+        assert ours.shape == ref.shape and n_tok == ref.shape[0]
+        np.testing.assert_allclose(ours, ref, atol=5 * ATOL)
+
+    def test_lm_logits_match(self, pair):
+        from mlx_audio_tpu.tts.models.llama.llama import (
+            llama_forward, logits_from_hidden)
+
+        hf, model = pair
+        ids = np.random.RandomState(13).randint(0, 300, (1, 12))
+        with torch.no_grad():
+            ref = _np(hf.language_model(
+                input_ids=torch.from_numpy(ids)).logits)
+        hidden, _ = llama_forward(model.params["language_model"],
+                                  model.config.text,
+                                  jnp.asarray(ids.astype(np.int32)),
+                                  causal=True)
+        ours = np.asarray(logits_from_hidden(
+            model.params["language_model"], model.config.text, hidden))
+        assert ours.shape == ref.shape
+        np.testing.assert_allclose(ours, ref, atol=5 * ATOL)
+
