@@ -126,12 +126,33 @@ class Model(FunctionalModel):
         }
 
     def sanitize(self, weights):
-        """Map ckpt keys backbone.layers.* -> backbone.model-less tree and
-        drop rotary caches."""
+        """Map CSM checkpoint keys -> this tree. Real sesame/csm-1b weights
+        use torchtune naming (attn/output_proj, mlp.w1/w2/w3,
+        sa_norm/mlp_norm with `scale`); remap to the llama-backbone names
+        this tree uses (reference sesame.py:577-602 does the same remap
+        into its module tree). Already-converted trees pass through."""
         out = {}
         for k, w in weights.items():
-            if "rotary_emb" in k:
+            if "rotary_emb" in k or k.endswith(".kv_cache.k_cache") \
+                    or k.endswith(".kv_cache.v_cache"):
                 continue
+            if k.startswith("model."):
+                k = k[len("model."):]
+            if ".attn." in k:
+                k = k.replace(".attn.", ".self_attn.")
+                k = k.replace(".output_proj.", ".o_proj.")
+            if ".mlp." in k:
+                k = (k.replace(".mlp.w1.", ".mlp.gate_proj.")
+                      .replace(".mlp.w2.", ".mlp.down_proj.")
+                      .replace(".mlp.w3.", ".mlp.up_proj."))
+            if ".sa_norm." in k:
+                k = k.replace(".sa_norm.", ".input_layernorm.")
+                k = k.replace(".scale", ".weight")
+            elif ".mlp_norm." in k:
+                k = k.replace(".mlp_norm.", ".post_attention_layernorm.")
+                k = k.replace(".scale", ".weight")
+            elif k in ("backbone.norm.scale", "decoder.norm.scale"):
+                k = k.replace(".scale", ".weight")
             out[k] = w
         return out
 

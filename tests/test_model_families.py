@@ -38,6 +38,36 @@ class TestSesame:
                                  max_audio_length_ms=1600))[0]
         np.testing.assert_array_equal(r1.prompt["codes"], r2.prompt["codes"])
 
+    def test_torchtune_sanitize_roundtrip(self, model):
+        """Real sesame/csm-1b weights use torchtune naming; sanitize must
+        remap them onto this tree exactly (golden: same arrays under
+        torchtune names reproduce the same generation)."""
+        from mlx_audio_tpu.tts.models.sesame import Model
+        from mlx_audio_tpu.utils import flatten, unflatten
+
+        inv = {}
+        for k, w in flatten(model.params).items():
+            tk = (k.replace(".self_attn.", ".attn.")
+                   .replace(".o_proj.", ".output_proj.")
+                   .replace(".mlp.gate_proj.", ".mlp.w1.")
+                   .replace(".mlp.down_proj.", ".mlp.w2.")
+                   .replace(".mlp.up_proj.", ".mlp.w3.")
+                   .replace(".input_layernorm.weight", ".sa_norm.scale")
+                   .replace(".post_attention_layernorm.weight",
+                            ".mlp_norm.scale"))
+            if tk in ("backbone.norm.weight", "decoder.norm.weight"):
+                tk = tk.replace(".weight", ".scale")
+            inv[tk] = np.asarray(w)
+        m2 = Model(model.config)
+        m2.bind(unflatten({k: jnp.asarray(v)
+                           for k, v in m2.sanitize(inv).items()}),
+                strict=True)
+        r1 = list(model.generate(text_ids=np.arange(5, 15), temperature=0.0,
+                                 max_audio_length_ms=1600))[0]
+        r2 = list(m2.generate(text_ids=np.arange(5, 15), temperature=0.0,
+                              max_audio_length_ms=1600))[0]
+        np.testing.assert_array_equal(r1.prompt["codes"], r2.prompt["codes"])
+
     def test_voice_clone_context_changes_output(self, model):
         ctx = np.random.RandomState(0).randint(0, 40, (6, 4))
         r1 = list(model.generate(text_ids=np.arange(5, 15), temperature=0.0,
