@@ -84,7 +84,9 @@ class TestPieces:
         got = N.apply_conv_transpose_block(
             p, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
         got = np.asarray(got).transpose(0, 3, 1, 2)
-        np.testing.assert_allclose(got, ref, atol=1e-5)
+        # 2e-5: torch's oneDNN reorder vs XLA accumulate order on unseeded
+        # random inputs occasionally exceeds 1e-5 on a single element
+        np.testing.assert_allclose(got, ref, atol=2e-5)
 
     def test_grouped_linear(self):
         p = N.init_grouped_linear(jax.random.PRNGKey(0), 8, 12, 2)
