@@ -51,6 +51,27 @@ class ModelConfig(BaseModelArgs):
     sample_rate: int = 44100
     model_path: str = ""
 
+    @classmethod
+    def from_dict(cls, config: dict):
+        """Accept both the native descript field names and the HF
+        transformers `DacConfig` schema (descript/dac_* hub repos)."""
+        if isinstance(config, dict) and ("encoder_hidden_size" in config
+                                         or "downsampling_ratios" in config):
+            return cls(
+                encoder_dim=config.get("encoder_hidden_size", 64),
+                encoder_rates=list(config.get("downsampling_ratios",
+                                              [2, 4, 8, 8])),
+                latent_dim=config.get("hidden_size"),
+                decoder_dim=config.get("decoder_hidden_size", 1536),
+                decoder_rates=list(config.get("upsampling_ratios",
+                                              [8, 8, 4, 2])),
+                n_codebooks=config.get("n_codebooks", 9),
+                codebook_size=config.get("codebook_size", 1024),
+                codebook_dim=config.get("codebook_dim", 8),
+                sample_rate=config.get("sampling_rate", 44100),
+                model_path=config.get("model_path", ""))
+        return super().from_dict(config)
+
 
 class DAC(FunctionalModel):
     def __init__(self, config: ModelConfig = None, **kwargs):
@@ -195,8 +216,62 @@ class DAC(FunctionalModel):
         z_q, codes = self.encode(audio)
         return self.decode(z_q), codes
 
+    def _remap_hf(self, weights):
+        """HF-transformers `DacModel` keys (descript/dac_* hub repos) ->
+        the native descript Sequential-index names this tree uses; layout
+        conversion happens in the shared snac sanitize loop."""
+        import re
+
+        R_enc = len(self.config.encoder_rates)
+        R_dec = len(self.config.decoder_rates)
+        out = {}
+        for k, w in weights.items():
+            m = re.match(
+                r"^(encoder|decoder)\.block\.(\d+)\."
+                r"(?:res_unit(\d)\.(snake|conv)(\d)|"
+                r"(snake1)\.alpha|(conv1|conv_t1)\.(weight|bias))"
+                r"(?:\.(alpha|weight|bias))?$", k)
+            if m:
+                side, i = m.group(1), int(m.group(2))
+                stage = f"{side}.{i + 1}.block"
+                if m.group(3):  # res_unitR.snakeN/convN
+                    r = int(m.group(3)) - 1
+                    base = r if side == "encoder" else r + 2
+                    kind, n = m.group(4), int(m.group(5))
+                    inner = {("snake", 1): "0.alpha", ("conv", 1): "1",
+                             ("snake", 2): "2.alpha", ("conv", 2): "3"}[
+                                 (kind, n)]
+                    leaf = m.group(9)
+                    key = f"{stage}.{base}.block.{inner}"
+                    out[key if kind == "snake" else f"{key}.{leaf}"] = w
+                elif m.group(6):  # stage snake1
+                    out[f"{stage}.{3 if side == 'encoder' else 0}.alpha"] = w
+                else:  # stage conv1 / conv_t1
+                    idx = 4 if side == "encoder" else 1
+                    out[f"{stage}.{idx}.{m.group(8)}"] = w
+                continue
+            m = re.match(r"^(encoder|decoder)\.(conv1|conv2|snake1)\."
+                         r"(weight|bias|alpha)$", k)
+            if m:
+                side, part, leaf = m.groups()
+                last = R_enc if side == "encoder" else R_dec
+                idx = {"conv1": 0, "snake1": last + 1, "conv2": last + 2}[
+                    part]
+                out[f"{side}.{idx}.{leaf}"] = w
+                continue
+            m = re.match(r"^quantizer\.quantizers\.(\d+)\.(.+)$", k)
+            if m:
+                out[f"quantizer.{m.group(1)}.{m.group(2)}"] = w
+                continue
+            out[k] = w
+        return out
+
     def sanitize(self, weights):
         from ..snac.snac import SNAC
+
+        if any(k.startswith("quantizer.quantizers.")
+               or ".res_unit1." in k for k in weights):
+            weights = self._remap_hf(weights)
 
         return SNAC.sanitize(self, weights)
 

@@ -38,6 +38,16 @@ from ..blocks import (
 
 Array = jax.Array
 
+
+def _is_decoder_upsampler(base: str) -> bool:
+    """decoder.N.block.1 is the transposed upsampler in the descript/snac
+    Sequential layout. A substring test on '.block.1.' also matches the
+    *inner* res-unit conv at ...block.K.block.1, so anchor the pattern to
+    the block directly under a decoder stage index."""
+    import re
+
+    return re.search(r"decoder\.(?:model\.)?\d+\.block\.1$", base) is not None
+
 from dataclasses import dataclass, field
 
 
@@ -297,9 +307,7 @@ class SNAC(FunctionalModel):
                 base = k[: -len(".weight_v")]
                 g = gs.get(base + ".weight_g")
                 folded = fold_weight_norm(g, w) if g is not None else np.asarray(w)
-                # decoder block index 1 is the transposed upsampler
-                is_tconv = ".block.1." in base and "decoder" in base
-                if is_tconv:
+                if _is_decoder_upsampler(base):
                     out[base + ".weight"] = convert_torch_conv_transpose_weight(
                         jnp.asarray(folded))
                 else:
@@ -310,8 +318,7 @@ class SNAC(FunctionalModel):
                 out[k] = w.reshape(-1)
                 continue
             if k.endswith(".weight") and w.ndim == 3:
-                is_tconv = ".block.1." in k and "decoder" in k
-                if is_tconv:
+                if _is_decoder_upsampler(k[: -len(".weight")]):
                     out[k] = convert_torch_conv_transpose_weight(w)
                 else:
                     out[k] = jnp.transpose(w, (2, 1, 0))

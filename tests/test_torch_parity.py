@@ -345,3 +345,57 @@ class TestQwen2AudioTorchParity:
         assert ours.shape == ref.shape
         np.testing.assert_allclose(ours, ref, atol=5 * ATOL)
 
+
+# ---------------------------------------------------------------------------
+# DAC: RVQ codes + decoded waveform via the HF DacModel sanitize path
+# ---------------------------------------------------------------------------
+
+
+class TestDacTorchParity:
+    @pytest.fixture(scope="class")
+    def pair(self):
+        from transformers import DacConfig, DacModel
+
+        from mlx_audio_tpu.codec.models.descript import DAC
+        from mlx_audio_tpu.utils import unflatten
+
+        torch.manual_seed(4)
+        hf_cfg = DacConfig(
+            encoder_hidden_size=8, downsampling_ratios=[2, 4],
+            decoder_hidden_size=8, upsampling_ratios=[4, 2],
+            n_codebooks=3, codebook_size=16, codebook_dim=4,
+            hidden_size=16, sampling_rate=800)
+        hf = DacModel(hf_cfg).eval()
+
+        model = DAC(hf_cfg.to_dict())
+        flat = model.sanitize({k: _np(v) for k, v in hf.state_dict().items()})
+        model.bind(unflatten({k: jnp.asarray(v) for k, v in flat.items()}))
+        return hf, model
+
+    @pytest.fixture(scope="class")
+    def audio(self):
+        t = np.linspace(0, 1, 800, dtype=np.float32)
+        return (0.4 * np.sin(2 * np.pi * 17 * t)).astype(np.float32)[None]
+
+    def test_encode_codes_match(self, pair, audio):
+        hf, model = pair
+        with torch.no_grad():
+            ref = _np(hf.encode(torch.from_numpy(audio)[:, None, :])
+                      .audio_codes)
+        _, ours = model.encode(audio)
+        ours = np.asarray(ours)
+        assert ours.shape == ref.shape
+        assert (ours == ref).mean() > 0.99
+
+    def test_decode_waveform_matches(self, pair):
+        hf, model = pair
+        codes = np.random.RandomState(17).randint(
+            0, 16, (1, 3, 25)).astype(np.int64)
+        with torch.no_grad():
+            ref = _np(hf.decode(audio_codes=torch.from_numpy(codes))
+                      .audio_values)
+        z_q = model.from_codes(codes)
+        ours = np.asarray(model.decode(z_q))[..., 0]
+        n = min(ours.shape[-1], ref.shape[-1])
+        np.testing.assert_allclose(ours[0, :n], ref[0, :n], atol=ATOL)
+
