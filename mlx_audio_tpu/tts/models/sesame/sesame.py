@@ -67,7 +67,35 @@ class ModelConfig(BaseModelArgs):
     sample_rate: int = 24000
     backbone_config: Optional[dict] = None
     depth_decoder_config: Optional[dict] = None
+    codec_config: Optional[dict] = None
     model_path: str = ""
+
+    @classmethod
+    def from_dict(cls, config: dict):
+        """Accept both this package's schema and the HF transformers
+        `CsmConfig` flat schema (the canonical sesame/csm-1b hub repo:
+        backbone dims at top level, nested depth_decoder_config and
+        codec_config, vocab_size = audio codebook vocab)."""
+        if isinstance(config, dict) and (
+                config.get("model_type") == "csm"
+                or "num_codebooks" in config):
+            bb_keys = ("hidden_size", "num_hidden_layers",
+                       "num_attention_heads", "num_key_value_heads",
+                       "head_dim", "intermediate_size", "rope_theta",
+                       "rms_norm_eps", "max_position_embeddings",
+                       "rope_scaling")
+            return cls(
+                text_vocab_size=config.get("text_vocab_size", 128256),
+                audio_vocab_size=config.get("vocab_size", 2051),
+                audio_num_codebooks=config.get("num_codebooks", 32),
+                codebook_eos_token_id=config.get("codebook_eos_token_id", 0),
+                audio_eos_token_id=config.get("codebook_eos_token_id", 0),
+                backbone_config={k: config[k] for k in bb_keys
+                                 if config.get(k) is not None},
+                depth_decoder_config=config.get("depth_decoder_config"),
+                codec_config=config.get("codec_config"),
+                model_path=config.get("model_path", ""))
+        return super().from_dict(config)
 
     def llama_configs(self):
         bb = dict(_FLAVORS[self.backbone_flavor])
@@ -125,12 +153,48 @@ class Model(FunctionalModel):
             ) * 0.02,
         }
 
+    def _remap_hf(self, weights):
+        """HF transformers `CsmForConditionalGeneration` keys -> this tree.
+        The embedded Mimi codec (codec_model.*) is stashed for
+        post_load_hook to build the audio tokenizer from."""
+        out = {}
+        codec = {}
+        for k, w in weights.items():
+            if k.startswith("codec_model."):
+                codec[k[len("codec_model."):]] = w
+            elif k == "backbone_model.embed_tokens.embed_audio_tokens.weight":
+                out["audio_embeddings.weight"] = w
+            elif k == "embed_text_tokens.weight":
+                out["text_embeddings.weight"] = w
+            elif k == "lm_head.weight":
+                out["codebook0_head.weight"] = w
+            elif k == "depth_decoder.model.inputs_embeds_projector.weight":
+                out["projection.weight"] = w
+            elif k == "depth_decoder.codebooks_head.weight":
+                out["audio_head"] = w
+            elif k == "depth_decoder.model.embed_tokens.weight":
+                # untied fine-tunes get their own in-loop table; tied
+                # checkpoints produce a copy of audio_embeddings here
+                out["decoder_audio_embeddings.weight"] = w
+            elif k.startswith("depth_decoder.model."):
+                out["decoder." + k[len("depth_decoder.model."):]] = w
+            elif k.startswith("backbone_model."):
+                out["backbone." + k[len("backbone_model."):]] = w
+            else:
+                out[k] = w
+        self._hf_codec_weights = codec or None
+        return out
+
     def sanitize(self, weights):
         """Map CSM checkpoint keys -> this tree. Real sesame/csm-1b weights
-        use torchtune naming (attn/output_proj, mlp.w1/w2/w3,
-        sa_norm/mlp_norm with `scale`); remap to the llama-backbone names
-        this tree uses (reference sesame.py:577-602 does the same remap
-        into its module tree). Already-converted trees pass through."""
+        come in two layouts: the original torchtune naming (attn/output_proj,
+        mlp.w1/w2/w3, sa_norm/mlp_norm with `scale`; reference
+        sesame.py:577-602 remaps the same) and the HF transformers CSM
+        naming (backbone_model/depth_decoder/codec_model). Already-converted
+        trees pass through."""
+        if any(k.startswith(("backbone_model.", "depth_decoder."))
+               for k in weights):
+            weights = self._remap_hf(weights)
         out = {}
         for k, w in weights.items():
             if "rotary_emb" in k or k.endswith(".kv_cache.k_cache") \
@@ -164,6 +228,16 @@ class Model(FunctionalModel):
             model.tokenizer = AutoTokenizer.from_pretrained(str(model_path))
         except Exception:
             model.tokenizer = None
+        codec = getattr(model, "_hf_codec_weights", None)
+        if codec is not None and model._mimi is None:
+            # HF csm checkpoints embed the Mimi codec — build it in-place
+            from ....codec.models.mimi import Mimi
+            from ....utils import unflatten
+
+            mimi = Mimi(model.config.codec_config or {})
+            mimi.bind(unflatten(mimi.sanitize(codec)))
+            model._mimi = mimi
+            model._hf_codec_weights = None
         return model
 
     # -- embeddings ----------------------------------------------------------
@@ -204,7 +278,11 @@ class Model(FunctionalModel):
                                self.dec_cfg.num_key_value_heads,
                                self.dec_cfg.resolved_head_dim, last_h.dtype)
                   for _ in range(self.dec_cfg.num_hidden_layers)]
-        c0_embed = apply_embedding(params["audio_embeddings"], c0[:, None])
+        # untied HF fine-tunes carry a separate depth-decoder table; the
+        # tied default falls back to the shared backbone audio table
+        dec_table = params.get("decoder_audio_embeddings",
+                               params["audio_embeddings"])
+        c0_embed = apply_embedding(dec_table, c0[:, None])
         curr_h = jnp.concatenate([last_h[:, None], c0_embed], axis=1)
         samples = [c0]
         offset = 0
@@ -221,8 +299,7 @@ class Model(FunctionalModel):
             ci = sample(sub, logits)
             samples.append(ci)
             curr_h = apply_embedding(
-                params["audio_embeddings"],
-                (ci + i * c.audio_vocab_size)[:, None])
+                dec_table, (ci + i * c.audio_vocab_size)[:, None])
         return jnp.stack(samples, axis=-1), key  # (B, 32)
 
     def _make_chunk_stepper(self, chunk: int, temperature: float, top_k: int):

@@ -399,3 +399,100 @@ class TestDacTorchParity:
         n = min(ours.shape[-1], ref.shape[-1])
         np.testing.assert_allclose(ours[0, :n], ref[0, :n], atol=ATOL)
 
+
+# ---------------------------------------------------------------------------
+# CSM (sesame): backbone + depth decoder via the HF-layout sanitize path
+# ---------------------------------------------------------------------------
+
+
+class TestCsmTorchParity:
+    @pytest.fixture(scope="class")
+    def pair(self):
+        from transformers import CsmConfig, CsmForConditionalGeneration
+
+        from mlx_audio_tpu.tts.models.sesame import Model, ModelConfig
+        from mlx_audio_tpu.utils import unflatten
+
+        torch.manual_seed(5)
+        hf_cfg = CsmConfig(
+            vocab_size=40, text_vocab_size=120, num_codebooks=4,
+            hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, head_dim=8, intermediate_size=64,
+            rope_theta=10000.0,
+            depth_decoder_config=dict(
+                num_codebooks=4, vocab_size=40, backbone_hidden_size=32,
+                hidden_size=24, intermediate_size=48, num_hidden_layers=1,
+                num_attention_heads=4, num_key_value_heads=2, head_dim=8,
+                rope_theta=10000.0, max_position_embeddings=5),
+            codec_config=dict(
+                model_type="mimi", sampling_rate=1600, audio_channels=1,
+                hidden_size=16, num_filters=4, num_residual_layers=1,
+                upsampling_ratios=[4, 2], kernel_size=7, last_kernel_size=3,
+                residual_kernel_size=3, dilation_growth_rate=2,
+                use_causal_conv=True, codebook_size=32, codebook_dim=8,
+                num_quantizers=4, vector_quantization_hidden_dimension=8,
+                num_semantic_quantizers=1, upsample_groups=16,
+                num_hidden_layers=2, num_attention_heads=2,
+                num_key_value_heads=2, head_dim=8, intermediate_size=32,
+                sliding_window=16))
+        hf = CsmForConditionalGeneration(hf_cfg).eval()
+        model = Model(ModelConfig.from_dict(hf_cfg.to_dict()))
+        flat = model.sanitize({k: _np(v) for k, v in hf.state_dict().items()})
+        model.bind(unflatten({k: jnp.asarray(v) for k, v in flat.items()}))
+        return hf, model
+
+    def test_backbone_and_codebook0_logits_match(self, pair):
+        from mlx_audio_tpu.nn import apply_embedding, apply_linear
+        from mlx_audio_tpu.tts.models.llama.llama import llama_forward
+
+        hf, model = pair
+        ids = np.random.RandomState(3).randint(0, 120, (1, 6))
+        with torch.no_grad():
+            emb = hf.embed_text_tokens(torch.from_numpy(ids))
+            h = hf.backbone_model(inputs_embeds=emb).last_hidden_state
+            ref_l0 = _np(hf.lm_head(h[:, -1]))
+        ours_emb = apply_embedding(model.params["text_embeddings"],
+                                   jnp.asarray(ids))
+        ours_h, _ = llama_forward({"model": model.params["backbone"]},
+                                  model.bb_cfg, ours_emb, causal=True)
+        ours_l0 = np.asarray(apply_linear(model.params["codebook0_head"],
+                                          ours_h[:, -1]))
+        np.testing.assert_allclose(np.asarray(ours_h), _np(h), atol=ATOL)
+        np.testing.assert_allclose(ours_l0, ref_l0, atol=ATOL)
+
+    def test_depth_decoder_step_matches(self, pair):
+        from mlx_audio_tpu.nn import apply_embedding, apply_linear
+        from mlx_audio_tpu.tts.models.llama.llama import llama_forward
+
+        hf, model = pair
+        c0 = 7
+        h_last = torch.randn(1, 32)
+        with torch.no_grad():
+            # position 0 embeds are replaced by the backbone hidden state
+            ref = _np(hf.depth_decoder(
+                input_ids=torch.tensor([[0, c0]]),
+                backbone_last_hidden_state=h_last).logits)[:, -1]
+        p = model.params
+        table = p.get("decoder_audio_embeddings", p["audio_embeddings"])
+        c0_embed = apply_embedding(table, jnp.asarray([[c0]]))
+        curr_h = jnp.concatenate(
+            [jnp.asarray(h_last.numpy())[:, None], c0_embed], axis=1)
+        proj = apply_linear(p["projection"], curr_h)
+        dec_h, _ = llama_forward({"model": p["decoder"]}, model.dec_cfg,
+                                 proj, causal=True)
+        ours = np.asarray(jnp.einsum("bd,dv->bv", dec_h[:, -1],
+                                     p["audio_head"][0]))
+        assert ours.shape == ref.shape
+        np.testing.assert_allclose(ours, ref, atol=ATOL)
+
+    def test_embedded_codec_builds_mimi(self, pair):
+        hf, model = pair
+        assert model._mimi is None  # post_load_hook not run via direct bind
+        from mlx_audio_tpu.tts.models.sesame import Model as SesameModel
+
+        m2 = SesameModel.post_load_hook(model, "/nonexistent")
+        assert m2._mimi is not None
+        codes = np.random.RandomState(19).randint(0, 32, (1, 4, 10))
+        audio = np.asarray(m2._mimi.decode(codes))
+        assert audio.shape[0] == 1 and np.isfinite(audio).all()
+
