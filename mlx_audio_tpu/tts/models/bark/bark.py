@@ -175,7 +175,7 @@ def gpt_prefill(p: dict, cfg: GPTConfig, tokens: Array, length: Array,
                              o.reshape(b, t, e))
         h = apply_layer_norm(lp["layernorm_2"], x)
         h = apply_linear(lp["mlp"]["out_proj"],
-                         jax.nn.gelu(apply_linear(lp["mlp"]["in_proj"], h)))
+                         jax.nn.gelu(apply_linear(lp["mlp"]["in_proj"], h), approximate=False))
         x = x + h
     x = apply_layer_norm(p["layernorm_final"], x)
     last = jnp.take_along_axis(
@@ -204,7 +204,7 @@ def gpt_step(p: dict, cfg: GPTConfig, token: Array, t: Array,
                              o.reshape(b, 1, -1))
         h = apply_layer_norm(lp["layernorm_2"], x)
         h = apply_linear(lp["mlp"]["out_proj"],
-                         jax.nn.gelu(apply_linear(lp["mlp"]["in_proj"], h)))
+                         jax.nn.gelu(apply_linear(lp["mlp"]["in_proj"], h), approximate=False))
         x = x + h
     x = apply_layer_norm(p["layernorm_final"], x)
     return apply_linear(p["lm_head"], x)[:, 0], new_caches
@@ -260,7 +260,7 @@ def fine_gpt_forward(p: dict, cfg: GPTConfig, pred_idx: int,
         x = x + apply_linear(lp["attn"]["out_proj"], o.reshape(b, t, -1))
         h = apply_layer_norm(lp["layernorm_2"], x)
         h = apply_linear(lp["mlp"]["out_proj"],
-                         jax.nn.gelu(apply_linear(lp["mlp"]["in_proj"], h)))
+                         jax.nn.gelu(apply_linear(lp["mlp"]["in_proj"], h), approximate=False))
         x = x + h
     x = apply_layer_norm(p["layernorm_final"], x)
     w = p["lm_heads"][str(pred_idx - cfg.n_codes_given)]["weight"]
@@ -495,29 +495,33 @@ class Model(FunctionalModel):
                       temperature: Optional[float] = 0.7,
                       seed: int = 2) -> np.ndarray:
         cfg = self.config.fine_acoustics_config
+        n_fine = getattr(cfg, "n_codes_total", None) or N_FINE_CODEBOOKS
+        cs = min(CODEBOOK_SIZE, cfg.output_vocab_size)
+        ctx = min(1024, cfg.block_size)
+        hop = ctx // 2
         n_coarse = coarse.shape[0]
         t_total = coarse.shape[1]
         in_arr = np.vstack([
             coarse,
-            np.full((N_FINE_CODEBOOKS - n_coarse, t_total), CODEBOOK_SIZE),
+            np.full((n_fine - n_coarse, t_total), cs),
         ]).astype(np.int32)
         n_remove = 0
-        if in_arr.shape[1] < 1024:
-            n_remove = 1024 - in_arr.shape[1]
+        if in_arr.shape[1] < ctx:
+            n_remove = ctx - in_arr.shape[1]
             in_arr = np.pad(in_arr, ((0, 0), (0, n_remove)),
-                            constant_values=CODEBOOK_SIZE)
-        in_arr = in_arr.T                           # (T, 8)
-        n_loops = max(0, int(math.ceil((t_total - 1024) / 512))) + 1
+                            constant_values=cs)
+        in_arr = in_arr.T                           # (T, n_fine)
+        n_loops = max(0, int(math.ceil((t_total - ctx) / hop))) + 1
         rng = np.random.RandomState(seed)
         for n in range(n_loops):
-            start = min(n * 512, in_arr.shape[0] - 1024)
-            start_fill = min(n * 512, in_arr.shape[0] - 512)
+            start = min(n * hop, in_arr.shape[0] - ctx)
+            start_fill = min(n * hop, in_arr.shape[0] - hop)
             rel = start_fill - start
-            buf = in_arr[start: start + 1024][None]
-            for nn in range(n_coarse, N_FINE_CODEBOOKS):
+            buf = in_arr[start: start + ctx][None]
+            for nn in range(n_coarse, n_fine):
                 logits = np.asarray(self._fine_fn(nn)(
                     self.params, jnp.asarray(buf)))
-                rel_logits = logits[0, :, :CODEBOOK_SIZE]
+                rel_logits = logits[0, :, :cs]
                 if temperature is None:
                     preds = rel_logits[rel:].argmax(-1)
                 else:
@@ -526,9 +530,9 @@ class Model(FunctionalModel):
                     pz = np.exp(z)
                     pz /= pz.sum(-1, keepdims=True)
                     preds = np.asarray(
-                        [rng.choice(CODEBOOK_SIZE, p=row) for row in pz])
+                        [rng.choice(cs, p=row) for row in pz])
                 buf[0, rel:, nn] = preds
-                in_arr[start_fill: start_fill + 1024 - rel, nn] = \
+                in_arr[start_fill: start_fill + ctx - rel, nn] = \
                     buf[0, rel:, nn]
         out = in_arr.T
         if n_remove:
@@ -577,6 +581,8 @@ class Model(FunctionalModel):
             k = re.sub(r"(^|\.)h\.(\d+)\.", r"\1layers.\2.", k)
             if "codec" in k:
                 continue
+            if k.endswith(".attn.bias") and getattr(v, "ndim", 0) > 1:
+                continue  # HF registers the causal mask as a buffer
             out[k] = v
         return out
 

@@ -496,3 +496,74 @@ class TestCsmTorchParity:
         audio = np.asarray(m2._mimi.decode(codes))
         assert audio.shape[0] == 1 and np.isfinite(audio).all()
 
+
+# ---------------------------------------------------------------------------
+# Bark: semantic/coarse GPT + fine GPT through sanitize() (suno/bark repo
+# ships the HF BarkModel layout, which matches this tree's naming)
+# ---------------------------------------------------------------------------
+
+
+class TestBarkTorchParity:
+    @pytest.fixture(scope="class")
+    def pair(self):
+        from transformers import BarkConfig, BarkModel
+
+        from mlx_audio_tpu.tts.models.bark import Model, ModelConfig
+        from mlx_audio_tpu.utils import unflatten
+
+        torch.manual_seed(6)
+        gpt = dict(hidden_size=32, num_layers=2, num_heads=2,
+                   vocab_size=64, output_vocab_size=64, block_size=64,
+                   input_vocab_size=64, bias=True, dropout=0.0)
+        hf_cfg = BarkConfig(
+            semantic_config=dict(gpt),
+            coarse_acoustics_config=dict(gpt),
+            fine_acoustics_config=dict(gpt, n_codes_total=4, n_codes_given=2),
+            codec_config=dict(model_type="encodec"))
+        hf = BarkModel(hf_cfg).eval()
+
+        g = dict(n_layer=2, n_head=2, n_embd=32, vocab_size=64,
+                 output_vocab_size=64, block_size=64, input_vocab_size=64,
+                 bias=True)
+        model = Model(ModelConfig(
+            semantic_config=dict(g), coarse_acoustics_config=dict(g),
+            fine_acoustics_config=dict(g, n_codes_total=4, n_codes_given=2)))
+        sd = {k: _np(v) for k, v in hf.state_dict().items()
+              if not k.startswith("codec_model.")}
+        flat = model.sanitize(sd)
+        model.bind(unflatten({k: jnp.asarray(np.asarray(v))
+                              for k, v in flat.items()}))
+        return hf, model
+
+    def test_semantic_prefill_logits_match(self, pair):
+        from mlx_audio_tpu.ops.kvcache import KVCache
+        from mlx_audio_tpu.tts.models.bark.bark import gpt_prefill
+
+        hf, model = pair
+        ids = np.random.RandomState(23).randint(0, 64, (1, 10))
+        with torch.no_grad():
+            ref = _np(hf.semantic(input_ids=torch.from_numpy(ids)).logits)
+        cfg = model.config.semantic_config
+        caches = [KVCache.init(1, 32, cfg.n_head,
+                               cfg.n_embd // cfg.n_head, jnp.float32)
+                  for _ in range(cfg.n_layer)]
+        logits, _ = gpt_prefill(model.params["semantic"], cfg,
+                                jnp.asarray(ids), jnp.int32(10), caches)
+        np.testing.assert_allclose(np.asarray(logits), ref[:, -1],
+                                   atol=ATOL)
+
+    def test_fine_forward_matches(self, pair):
+        from mlx_audio_tpu.tts.models.bark.bark import fine_gpt_forward
+
+        hf, model = pair
+        codes = np.random.RandomState(29).randint(0, 64, (1, 12, 4))
+        pred_idx = 2
+        with torch.no_grad():
+            ref = _np(hf.fine_acoustics(
+                pred_idx, input_ids=torch.from_numpy(codes)).logits)
+        ours = np.asarray(fine_gpt_forward(
+            model.params["fine_acoustics"], model.config.fine_acoustics_config,
+            pred_idx, jnp.asarray(codes)))
+        assert ours.shape == ref.shape
+        np.testing.assert_allclose(ours, ref, atol=ATOL)
+
