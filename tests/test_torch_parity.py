@@ -498,6 +498,75 @@ class TestCsmTorchParity:
 
 
 # ---------------------------------------------------------------------------
+# Voxtral: whisper tower + 4-frame projector + LM logits through sanitize()
+# ---------------------------------------------------------------------------
+
+
+class TestVoxtralTorchParity:
+    @pytest.fixture(scope="class")
+    def pair(self):
+        from transformers import VoxtralConfig, VoxtralForConditionalGeneration
+
+        from mlx_audio_tpu.stt.models.voxtral import Model
+        from mlx_audio_tpu.utils import unflatten
+
+        torch.manual_seed(7)
+        hf_cfg = VoxtralConfig(
+            audio_config=dict(
+                num_mel_bins=16, encoder_layers=2, encoder_attention_heads=2,
+                encoder_ffn_dim=32, d_model=16, max_source_positions=1500,
+                intermediate_size=64, activation_function="gelu"),
+            text_config=dict(
+                hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+                num_key_value_heads=2, intermediate_size=64, vocab_size=300,
+                head_dim=16, rope_theta=10000.0, tie_word_embeddings=False))
+        hf = VoxtralForConditionalGeneration(hf_cfg).eval()
+
+        cfg = hf_cfg.to_dict()
+        model = Model(dict(audio_config=cfg["audio_config"],
+                           text_config=cfg["text_config"]))
+        flat = model.sanitize({k: _np(v) for k, v in hf.state_dict().items()})
+        model.bind(unflatten({k: jnp.asarray(v) for k, v in flat.items()}))
+        return hf, model
+
+    def test_tower_and_projector_match(self, pair):
+        from mlx_audio_tpu.stt.models.whisper.audio import (
+            N_FRAMES, log_mel_spectrogram)
+
+        hf, model = pair
+        wav = (0.1 * np.random.RandomState(31).randn(16000)).astype(
+            np.float32)
+        ours = np.asarray(model.get_audio_embeds(wav))
+        mel = np.zeros((N_FRAMES, 16), np.float32)
+        m = np.asarray(log_mel_spectrogram(wav, n_mels=16))
+        mel[: m.shape[0]] = m[:N_FRAMES]
+        with torch.no_grad():
+            enc = hf.audio_tower(
+                torch.from_numpy(mel.T[None])).last_hidden_state
+            grouped = enc.reshape(1, -1, 64)
+            ref = _np(hf.multi_modal_projector(grouped))[0]
+        assert ours.shape == ref.shape
+        np.testing.assert_allclose(ours, ref, atol=5 * ATOL)
+
+    def test_lm_logits_match(self, pair):
+        from mlx_audio_tpu.tts.models.llama.llama import (
+            llama_forward, logits_from_hidden)
+
+        hf, model = pair
+        ids = np.random.RandomState(37).randint(0, 300, (1, 10))
+        with torch.no_grad():
+            ref = _np(hf.language_model(
+                input_ids=torch.from_numpy(ids)).logits)
+        hidden, _ = llama_forward(
+            model.params["language_model"], model.config.text,
+            jnp.asarray(ids.astype(np.int32)), causal=True)
+        ours = np.asarray(logits_from_hidden(
+            model.params["language_model"], model.config.text, hidden))
+        assert ours.shape == ref.shape
+        np.testing.assert_allclose(ours, ref, atol=5 * ATOL)
+
+
+# ---------------------------------------------------------------------------
 # Bark: semantic/coarse GPT + fine GPT through sanitize() (suno/bark repo
 # ships the HF BarkModel layout, which matches this tree's naming)
 # ---------------------------------------------------------------------------
