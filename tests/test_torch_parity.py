@@ -567,6 +567,80 @@ class TestVoxtralTorchParity:
 
 
 # ---------------------------------------------------------------------------
+# GraniteSpeech: blocked-conformer CTC encoder + qformer projector
+# ---------------------------------------------------------------------------
+
+
+class TestGraniteSpeechTorchParity:
+    @pytest.fixture(scope="class")
+    def pair(self):
+        from transformers import (GraniteSpeechConfig,
+                                  GraniteSpeechForConditionalGeneration)
+
+        from mlx_audio_tpu.stt.models.granite_speech import Model
+        from mlx_audio_tpu.utils import unflatten
+
+        torch.manual_seed(8)
+        hf_cfg = GraniteSpeechConfig(
+            encoder_config=dict(
+                hidden_dim=32, num_layers=2, num_heads=4, dim_head=8,
+                feedforward_mult=2, input_dim=16, num_mel_bins=16,
+                output_dim=12, context_size=20, conv_kernel_size=3,
+                conv_expansion_factor=2),
+            text_config=dict(
+                model_type="granite", hidden_size=32, num_hidden_layers=2,
+                num_attention_heads=2, num_key_value_heads=2,
+                intermediate_size=64, vocab_size=300,
+                tie_word_embeddings=False),
+            projector_config=dict(
+                model_type="blip_2_qformer", hidden_size=32,
+                num_hidden_layers=1, num_attention_heads=2,
+                intermediate_size=64, cross_attention_frequency=1,
+                encoder_hidden_size=32),
+            downsample_rate=2, window_size=8, audio_token_index=290)
+        hf = GraniteSpeechForConditionalGeneration(hf_cfg).eval()
+
+        cfg = hf_cfg.to_dict()
+        model = Model(dict(
+            encoder_config=cfg["encoder_config"],
+            text_config=cfg["text_config"],
+            projector_config=cfg["projector_config"],
+            downsample_rate=2, window_size=8, audio_token_index=290))
+        flat = model.sanitize({k: _np(v) for k, v in hf.state_dict().items()})
+        model.bind(unflatten({k: jnp.asarray(np.asarray(v))
+                              for k, v in flat.items()}))
+        return hf, model
+
+    def test_encoder_matches(self, pair):
+        from mlx_audio_tpu.stt.models.granite_speech.granite_speech import (
+            encoder_forward)
+
+        hf, model = pair
+        feats = (0.3 * np.random.RandomState(41).randn(1, 40, 16)).astype(
+            np.float32)
+        with torch.no_grad():
+            ref = _np(hf.encoder(torch.from_numpy(feats)))
+        ours = np.asarray(encoder_forward(model.params, model.config,
+                                          jnp.asarray(feats)))
+        assert ours.shape == ref.shape
+        np.testing.assert_allclose(ours, ref, atol=5 * ATOL)
+
+    def test_projector_matches(self, pair):
+        from mlx_audio_tpu.stt.models.granite_speech.granite_speech import (
+            projector_forward)
+
+        hf, model = pair
+        enc = (0.3 * np.random.RandomState(43).randn(1, 40, 32)).astype(
+            np.float32)
+        with torch.no_grad():
+            ref = _np(hf.projector(torch.from_numpy(enc)))
+        ours = np.asarray(projector_forward(model.params, model.config,
+                                            jnp.asarray(enc)))
+        assert ours.shape == ref.shape
+        np.testing.assert_allclose(ours, ref, atol=5 * ATOL)
+
+
+# ---------------------------------------------------------------------------
 # Bark: semantic/coarse GPT + fine GPT through sanitize() (suno/bark repo
 # ships the HF BarkModel layout, which matches this tree's naming)
 # ---------------------------------------------------------------------------
