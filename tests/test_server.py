@@ -473,3 +473,60 @@ class TestServerConfig:
             server.broker.stop_and_join()
 
         _run(go())
+
+
+# ---------------------------------------------------------------------------
+# Real-checkpoint end-to-end: no mocks — the server loads actual on-disk
+# checkpoint dirs through the full loader pipeline (config -> sanitize ->
+# bind) and serves audio/transcriptions from them.
+# ---------------------------------------------------------------------------
+
+
+class TestRealCheckpointE2E:
+    @pytest.fixture(scope="class")
+    def kokoro_dir(self, tmp_path_factory):
+        import jax.numpy as jnp
+        from safetensors.numpy import save_file
+
+        import sys
+        sys.path.insert(0, ".")
+        from __graft_entry__ import _tiny_kokoro
+
+        from mlx_audio_tpu.utils import flatten
+
+        d = tmp_path_factory.mktemp("kokoro_ckpt")
+        m = _tiny_kokoro()
+        save_file({k: np.asarray(v) for k, v in flatten(m.params).items()},
+                  str(d / "model.safetensors"))
+        cfg = json.loads(json.dumps(
+            m.config.__dict__, default=lambda o: getattr(o, "__dict__",
+                                                         str(o))))
+        cfg["model_type"] = "kokoro"
+        cfg["converted_by"] = "mlx_audio_tpu.convert"  # params are JAX-layout
+        (d / "config.json").write_text(json.dumps(cfg))
+        (d / "voices").mkdir()
+        save_file({"af_heart": (np.random.RandomState(0)
+                                .randn(510, 1, 64) * 0.1).astype(np.float32)},
+                  str(d / "voices" / "af_heart.safetensors"))
+        return str(d)
+
+    def test_speech_from_disk_checkpoint(self, kokoro_dir):
+        async def go():
+            from aiohttp.test_utils import TestClient, TestServer
+
+            from mlx_audio_tpu import audio_io
+            from mlx_audio_tpu.server import AudioServer
+
+            server = AudioServer()
+            async with TestClient(TestServer(server.app)) as client:
+                r = await client.post("/v1/audio/speech", json={
+                    "model": kokoro_dir, "input": "end to end test",
+                    "voice": "af_heart", "response_format": "wav"})
+                assert r.status == 200, await r.text()
+                audio, sr = audio_io.read(io.BytesIO(await r.read()),
+                                          dtype="float32")
+                assert sr == 24000 and len(audio) > 1000
+                assert np.isfinite(audio).all()
+            server.broker.stop_and_join()
+
+        _run(go())
