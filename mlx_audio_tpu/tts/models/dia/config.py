@@ -44,6 +44,11 @@ class DecoderConfig(BaseModelArgs):
     gqa_head_dim: int = 128
     cross_query_heads: int = 16
     cross_head_dim: int = 128
+    # The original nari-labs modeling applies RoPE inside cross-attention
+    # (reference layers.py:317,678); the HF transformers DiaCrossAttention
+    # does not.  HF-layout checkpoints (Dia-1.6B-0626) are published against
+    # the transformers semantics, so the HF config path sets this False.
+    cross_rope: bool = True
 
 
 @dataclass
@@ -85,3 +90,43 @@ class DiaConfig(BaseModelArgs):
             self.data = DataConfig.from_dict(self.data)
         if self.data is None:
             self.data = DataConfig()
+
+    @classmethod
+    def from_dict(cls, config: dict):
+        """Accept both the original nari-labs nested schema and the HF
+        transformers `DiaConfig` schema (nari-labs/Dia-1.6B-0626:
+        encoder_config/decoder_config with hidden_size etc.)."""
+        if isinstance(config, dict) and isinstance(
+                config.get("encoder_config"), dict) and \
+                "hidden_size" in config["encoder_config"]:
+            enc, dec = config["encoder_config"], config["decoder_config"]
+            return cls(
+                model=ModelConfig(
+                    encoder=EncoderConfig(
+                        n_layer=enc.get("num_hidden_layers", 12),
+                        n_embd=enc.get("hidden_size", 1024),
+                        n_hidden=enc.get("intermediate_size", 4096),
+                        n_head=enc.get("num_attention_heads", 16),
+                        head_dim=enc.get("head_dim", 128)),
+                    decoder=DecoderConfig(
+                        n_layer=dec.get("num_hidden_layers", 18),
+                        n_embd=dec.get("hidden_size", 2048),
+                        n_hidden=dec.get("intermediate_size", 8192),
+                        gqa_query_heads=dec.get("num_attention_heads", 16),
+                        kv_heads=dec.get("num_key_value_heads", 4),
+                        gqa_head_dim=dec.get("head_dim", 128),
+                        cross_query_heads=dec.get(
+                            "cross_num_attention_heads", 16),
+                        cross_head_dim=dec.get("cross_head_dim", 128),
+                        cross_rope=False),
+                    src_vocab_size=enc.get("vocab_size", 128),
+                    tgt_vocab_size=dec.get("vocab_size", 1028),
+                    rope_max_timescale=dec.get("rope_theta", 10000)),
+                data=DataConfig(
+                    channels=dec.get("num_channels", 9),
+                    text_length=enc.get("max_position_embeddings", 1024),
+                    audio_length=dec.get("max_position_embeddings", 3072),
+                    delay_pattern=list(config.get(
+                        "delay_pattern",
+                        [0, 8, 9, 10, 11, 12, 13, 14, 15]))))
+        return super().from_dict(config)

@@ -174,8 +174,9 @@ def precompute_cross_kv(params: dict, cfg: DiaConfig, enc_out: Array,
     out = []
     for i in range(m.decoder.n_layer):
         a = params["decoder"]["layers"][str(i)]["cross_attention"]
-        k = _rope(_dense(enc_out, a["k_proj"]["weight"]), positions,
-                  inv_freq)
+        k = _dense(enc_out, a["k_proj"]["weight"])
+        if m.decoder.cross_rope:
+            k = _rope(k, positions, inv_freq)
         v = _dense(enc_out, a["v_proj"]["weight"])
         out.append((k, v))              # (B, S, H, D)
     return out
@@ -224,7 +225,9 @@ def decoder_step(params: dict, cfg: DiaConfig, tokens: Array, t: Array,
 
         h = apply_rms_norm(lp["pre_ca_norm"], x, eps)
         a = lp["cross_attention"]
-        q = _rope(_dense(h, a["q_proj"]["weight"]), pos, inv_ca)
+        q = _dense(h, a["q_proj"]["weight"])
+        if dec.cross_rope:
+            q = _rope(q, pos, inv_ca)
         ck, cv = cross_kv[i]
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, ck)
         scores = jnp.where(cross_mask[:, None, None, :], scores, -1e9)
@@ -460,14 +463,83 @@ class Model(FunctionalModel):
     # ---------------------------------------------------------- loading
 
     def sanitize(self, weights: Dict) -> Dict:
-        """Dia checkpoints ship JAX-layout DenseGeneral kernels already
-        (reference dia.py:109-110 sanitize is the identity); we only strip
-        an optional `model.` prefix."""
+        """Original nari-labs checkpoints ship JAX-layout DenseGeneral
+        kernels already (reference dia.py:109-110 sanitize is the
+        identity; we only strip an optional `model.` prefix). The HF
+        transformers layout (nari-labs/Dia-1.6B-0626) uses torch (out, in)
+        linears, a fused channel-major codebook embedding, and
+        gate_up/down MLP names — converted here."""
+        if any(".mlp.gate_up_proj." in k for k in weights):
+            return self._sanitize_hf(weights)
         out = {}
         for k, v in weights.items():
             if k.startswith("model."):
                 k = k[len("model."):]
             out[k] = v
+        return out
+
+    def _sanitize_hf(self, weights: Dict) -> Dict:
+        import numpy as np
+
+        m = self.config.model
+        d = self.config.data
+
+        def attn_in(w, heads, hd):     # torch (H*hd, D) -> (D, H, hd)
+            w = np.asarray(w)
+            return w.T.reshape(w.shape[1], heads, hd)
+
+        def attn_out(w, heads, hd):    # torch (D, H*hd) -> (H, hd, D)
+            w = np.asarray(w)
+            return w.T.reshape(heads, hd, w.shape[0])
+
+        out = {}
+        for k, w in weights.items():
+            if k.startswith("model."):
+                k = k[len("model."):]
+            enc = k.startswith("encoder.")
+            if ".self_attention." in k or ".cross_attention." in k:
+                cross = ".cross_attention." in k
+                if enc:
+                    hd = m.encoder.head_dim
+                elif cross:
+                    hd = m.decoder.cross_head_dim
+                else:
+                    hd = m.decoder.gqa_head_dim
+                w = np.asarray(w)
+                # infer head counts from the tensor itself (robust to the
+                # separate cross_num_key_value_heads in the HF config)
+                if k.endswith((".q_proj.weight", ".k_proj.weight",
+                               ".v_proj.weight")):
+                    out[k] = jnp.asarray(attn_in(w, w.shape[0] // hd, hd))
+                elif k.endswith(".o_proj.weight"):
+                    out[k] = jnp.asarray(attn_out(w, w.shape[1] // hd, hd))
+                else:
+                    out[k] = w
+                continue
+            if k.endswith(".mlp.gate_up_proj.weight"):
+                w = np.asarray(w)              # (2H, D) [gate; up]
+                h = w.shape[0] // 2
+                out[k.replace(".gate_up_proj.", ".wi_fused.")] = jnp.asarray(
+                    w.T.reshape(w.shape[1], 2, h))
+                continue
+            if k.endswith(".mlp.down_proj.weight"):
+                out[k.replace(".down_proj.", ".wo.")] = jnp.asarray(
+                    np.asarray(w).T)
+                continue
+            if k == "decoder.embeddings.embed.weight":
+                w = np.asarray(w)              # (C*V, D) channel-major
+                v = w.shape[0] // d.channels
+                for c in range(d.channels):
+                    out[f"decoder.embeddings.{c}.weight"] = jnp.asarray(
+                        w[c * v: (c + 1) * v])
+                continue
+            if k == "logits_dense.weight":
+                w = np.asarray(w)              # (C*V, D) channel-major
+                v = w.shape[0] // d.channels
+                out["decoder.logits_dense.weight"] = jnp.asarray(
+                    w.T.reshape(w.shape[1], d.channels, v))
+                continue
+            out[k] = w
         return out
 
     @staticmethod

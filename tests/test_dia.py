@@ -133,3 +133,95 @@ class TestSanitize:
         })
         assert "encoder.embedding.weight" in out
         assert "decoder.norm.weight" in out
+
+    def test_hf_config_translation(self):
+        cfg = DiaConfig.from_dict(dict(
+            encoder_config=dict(num_hidden_layers=2, hidden_size=32,
+                                intermediate_size=64,
+                                num_attention_heads=4, head_dim=8,
+                                vocab_size=64,
+                                max_position_embeddings=64),
+            decoder_config=dict(num_hidden_layers=2, hidden_size=48,
+                                intermediate_size=96,
+                                num_attention_heads=6,
+                                num_key_value_heads=2, head_dim=8,
+                                cross_num_attention_heads=4,
+                                cross_head_dim=8, vocab_size=40,
+                                max_position_embeddings=64,
+                                num_channels=3),
+            delay_pattern=[0, 1, 2]))
+        assert cfg.model.encoder.n_embd == 32
+        assert cfg.model.decoder.kv_heads == 2
+        assert cfg.model.decoder.cross_rope is False
+        assert cfg.data.channels == 3
+        assert cfg.data.delay_pattern == [0, 1, 2]
+
+
+class TestHFParity:
+    """Numerical parity vs transformers DiaModel (the HF layout of
+    nari-labs/Dia-1.6B-0626) on a tiny random-init config."""
+
+    @pytest.fixture(scope="class")
+    def pair(self):
+        torch = pytest.importorskip("torch")
+        tr = pytest.importorskip("transformers")
+        if not hasattr(tr, "DiaForConditionalGeneration"):
+            pytest.skip("transformers without Dia")
+        from mlx_audio_tpu.utils import unflatten
+        enc = tr.DiaEncoderConfig(
+            num_hidden_layers=2, hidden_size=32, intermediate_size=64,
+            num_attention_heads=4, num_key_value_heads=4, head_dim=8,
+            vocab_size=64, max_position_embeddings=64)
+        dec = tr.DiaDecoderConfig(
+            num_hidden_layers=2, hidden_size=48, intermediate_size=96,
+            num_attention_heads=6, num_key_value_heads=2, head_dim=8,
+            cross_num_attention_heads=4, cross_num_key_value_heads=4,
+            cross_head_dim=8, cross_hidden_size=32, vocab_size=40,
+            max_position_embeddings=64, num_channels=3)
+        hf_cfg = tr.DiaConfig(encoder_config=enc, decoder_config=dec,
+                              delay_pattern=[0, 1, 2])
+        torch.manual_seed(0)
+        hf = tr.DiaForConditionalGeneration(hf_cfg).eval()
+        cfg = DiaConfig.from_dict(hf_cfg.to_dict())
+        m = Model(cfg)
+        weights = {k: jnp.asarray(v.numpy())
+                   for k, v in hf.state_dict().items()}
+        m.bind(unflatten(m.sanitize(weights)))
+        return hf, m
+
+    def test_encoder_and_decode_logits_match(self, pair):
+        import torch
+        hf, m = pair
+        cfg = m.config
+        B, S, T, C = 2, 7, 5, 3
+        rng = np.random.default_rng(0)
+        src = rng.integers(1, 64, (B, S))
+        toks = rng.integers(0, 40, (B, T, C))
+        with torch.no_grad():
+            out = hf(input_ids=torch.tensor(src),
+                     attention_mask=torch.ones(B, S, dtype=torch.long),
+                     decoder_input_ids=torch.tensor(toks),
+                     use_cache=False)
+        hf_enc = out.encoder_last_hidden_state.numpy()
+        ours_enc = np.asarray(encoder_forward(
+            m.params, cfg, jnp.asarray(src), jnp.ones((B, S), bool)))
+        np.testing.assert_allclose(ours_enc, hf_enc, atol=2e-5)
+
+        pos = jnp.arange(S)[None, :].repeat(B, 0)
+        cross_kv = precompute_cross_kv(m.params, cfg,
+                                       jnp.asarray(ours_enc), pos)
+        d = cfg.model.decoder
+        caches = [KVCache.init(B, 16, d.kv_heads, d.gqa_head_dim,
+                               dtype=jnp.float32)
+                  for _ in range(d.n_layer)]
+        ours = []
+        for t in range(T):
+            logits, caches = decoder_step(
+                m.params, cfg, jnp.asarray(toks[:, t:t + 1]),
+                jnp.int32(t), caches, cross_kv, jnp.ones((B, S), bool))
+            ours.append(np.asarray(logits))
+        ours = np.stack(ours, axis=1)              # (B, T, C, V)
+        # HF flattens channels into the batch dim: (B*C, T, V)
+        hf_l = out.logits.numpy().reshape(B, C, T, 40).transpose(
+            0, 2, 1, 3)
+        np.testing.assert_allclose(ours, hf_l, atol=2e-5)
