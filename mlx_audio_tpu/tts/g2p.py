@@ -64,6 +64,29 @@ _DIGITS = {
     "5": "fIv", "6": "sɪks", "7": "ˈsɛvən", "8": "At", "9": "nIn",
 }
 
+# Spoken-number vocabulary emitted by textnorm (numbers, ordinals,
+# magnitudes, currency/unit words) — pronounced precisely rather than
+# through the letter-to-sound fallback.
+LEXICON.update({
+    "zero": "ˈziɹO", "four": "fɔɹ", "six": "sɪks", "seven": "ˈsɛvən",
+    "eight": "At", "nine": "nIn", "ten": "tɛn", "eleven": "ɪˈlɛvən",
+    "twelve": "twɛlv", "thirteen": "θɜɹˈtin", "fourteen": "fɔɹˈtin",
+    "fifteen": "fɪfˈtin", "sixteen": "sɪksˈtin",
+    "seventeen": "sɛvənˈtin", "eighteen": "Aˈtin",
+    "nineteen": "nInˈtin", "twenty": "ˈtwɛnti", "thirty": "ˈθɜɹti",
+    "forty": "ˈfɔɹti", "fifty": "ˈfɪfti", "sixty": "ˈsɪksti",
+    "seventy": "ˈsɛvənti", "eighty": "ˈAti", "ninety": "ˈnInti",
+    "hundred": "ˈhʌndɹəd", "thousand": "ˈθWzənd",
+    "million": "ˈmɪljən", "billion": "ˈbɪljən", "trillion": "ˈtɹɪljən",
+    "percent": "pəɹˈsɛnt", "point": "pɔɪnt", "negative": "ˈnɛɡətɪv",
+    "dollar": "ˈdɑləɹ", "dollars": "ˈdɑləɹz", "euro": "ˈjʊɹO",
+    "euros": "ˈjʊɹOz", "pound": "pWnd", "pounds": "pWndz",
+    "cent": "sɛnt", "cents": "sɛnts", "second": "ˈsɛkənd",
+    "third": "θɜɹd", "fifth": "fɪfθ", "ninth": "nInθ",
+    "half": "hæf", "halves": "hævz", "quarter": "ˈkwɔɹtəɹ",
+    "quarters": "ˈkwɔɹtəɹz", "oh": "O", "dot": "dɑt",
+})
+
 # Ordered letter-to-sound rules: (pattern, phonemes). Longest-match-first.
 _LTS = [
     ("tion", "ʃən"), ("sion", "ʒən"), ("ough", "O"), ("augh", "ɔ"),
@@ -128,7 +151,15 @@ def word_to_phonemes(word: str) -> str:
 
 
 def g2p(text: str) -> str:
-    """English text -> misaki-style phoneme string with punctuation kept."""
+    """English text -> misaki-style phoneme string with punctuation kept.
+
+    Numeric/spoken-form expansion (numbers, currency, time, units,
+    ordinals... — reference kitten_tts/preprocess.py behaviours) runs
+    first via `textnorm.normalize_for_g2p`, so "1200" reads "twelve
+    hundred" rather than digit-by-digit."""
+    from .textnorm import normalize_for_g2p
+
+    text = normalize_for_g2p(text)
     tokens = re.findall(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]", text)
     parts: List[str] = []
     for tok in tokens:
