@@ -12,6 +12,7 @@ state threaded explicitly; CTC decode is a pure argmax + collapse on device.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 from typing import List, Optional
 
@@ -73,6 +74,43 @@ class ModelConfig(BaseModelArgs):
     vocabulary: Optional[List[str]] = None
     model_path: str = ""
 
+    @classmethod
+    def from_dict(cls, config: dict):
+        """Accept the HF transformers ParakeetCTC schema
+        (model_type "parakeet_ctc": nested encoder_config with
+        hidden_size/num_mel_bins names) alongside the native NeMo-style
+        schema."""
+        if isinstance(config, dict) and isinstance(
+                config.get("encoder_config"), dict) and \
+                "hidden_size" in config["encoder_config"]:
+            e = config["encoder_config"]
+            d_model = e.get("hidden_size", 1024)
+            d_ff = e.get("intermediate_size", 4 * d_model)
+            if d_ff % d_model:
+                raise ValueError(
+                    "parakeet: intermediate_size must be a multiple of "
+                    f"hidden_size (got {d_ff} / {d_model})")
+            # HF vocab_size includes the CTC blank (ref HF
+            # ParakeetCTCConfig: vocab_size=1025 = 1024 tokens + blank).
+            vocab = config.get("vocab_size", 1025) - 1
+            return cls(
+                model_type="parakeet",
+                decoding="ctc",
+                encoder=dict(
+                    feat_in=e.get("num_mel_bins", 80),
+                    n_layers=e.get("num_hidden_layers", 24),
+                    d_model=d_model,
+                    n_heads=e.get("num_attention_heads", 8),
+                    ff_expansion_factor=d_ff // d_model,
+                    subsampling_factor=e.get("subsampling_factor", 8),
+                    conv_kernel_size=e.get("conv_kernel_size", 9),
+                    subsampling_conv_channels=e.get(
+                        "subsampling_conv_channels", 256),
+                    use_bias=e.get("attention_bias", True),
+                    xscaling=e.get("scale_input", True)),
+                vocab_size=vocab)
+        return super().from_dict(config)
+
     def __post_init__(self):
         enc = {k: v for k, v in (self.encoder or {}).items()
                if k in ConformerArgs.__dataclass_fields__}
@@ -122,6 +160,88 @@ class Model(FunctionalModel):
             p["ctc_decoder"] = {"conv": init_conv1d(
                 next(ks), self.enc_args.d_model, c.vocab_size + 1, 1)}
         return p
+
+    # -- loading -------------------------------------------------------------
+
+    def sanitize(self, weights: dict) -> dict:
+        """Convert HF transformers ParakeetForCTC / ParakeetEncoder
+        checkpoints (nvidia/parakeet-ctc-* HF layout) into our
+        functional tree; native-layout trees pass through unchanged."""
+        if not any(".subsampling." in k or "ctc_head." in k
+                   for k in weights):
+            return weights
+        import numpy as np
+
+        a = self.enc_args
+        # Feature-axis length after the strided conv stack (k=3, p=1).
+        f_out = a.feat_in
+        for _ in range(int(np.log2(a.subsampling_factor))):
+            f_out = (f_out - 1) // 2 + 1
+        ch = a.subsampling_conv_channels
+
+        def conv2d_w(w):                 # torch OIHW -> HWIO
+            return jnp.asarray(np.transpose(np.asarray(w), (2, 3, 1, 0)))
+
+        def conv1d_w(w):                 # torch (O, I, K) -> (K, I, O)
+            return jnp.asarray(np.transpose(np.asarray(w), (2, 1, 0)))
+
+        _ATTN = {"q_proj": "linear_q", "k_proj": "linear_k",
+                 "v_proj": "linear_v", "o_proj": "linear_out",
+                 "relative_k_proj": "linear_pos",
+                 "bias_u": "pos_bias_u", "bias_v": "pos_bias_v"}
+
+        out = {}
+        for k, w in weights.items():
+            if k.startswith("model."):
+                k = k[len("model."):]
+            if not k.startswith(("encoder.", "ctc_head.")):
+                k = "encoder." + k       # bare ParakeetEncoder layout
+            if k.endswith("num_batches_tracked"):
+                continue
+            if k.startswith("ctc_head."):
+                nk = k.replace("ctc_head.", "ctc_decoder.conv.")
+                out[nk] = conv1d_w(w) if k.endswith("weight") else w
+                continue
+            if ".subsampling.linear." in k:
+                nk = "encoder.pre_encode.out." + k.rsplit(".", 1)[1]
+                if k.endswith("weight"):
+                    # HF flattens (B,C,T,F)->(B,T,C*F); ours is (..F,C)
+                    w = np.asarray(w).reshape(-1, ch, f_out)
+                    w = np.transpose(w, (0, 2, 1)).reshape(w.shape[0], -1)
+                    out[nk] = jnp.asarray(w)
+                else:
+                    out[nk] = w
+                continue
+            m = re.match(r"encoder\.subsampling\.layers\.(\d+)\.(\w+)", k)
+            if m:
+                i, leaf = int(m.group(1)), m.group(2)
+                if i == 0:
+                    name = "00_conv"
+                elif i % 3 == 2:         # depthwise of stage (i+1)/3
+                    name = f"{2 * ((i + 1) // 3) - 1:02d}_dw"
+                else:                    # pointwise of stage i/3
+                    name = f"{2 * (i // 3):02d}_pw"
+                out[f"encoder.pre_encode.layers.{name}.{leaf}"] = \
+                    conv2d_w(w) if leaf == "weight" else w
+                continue
+            if ".self_attn." in k:
+                head, _, tail = k.rpartition(".self_attn.")
+                for hf, ours in _ATTN.items():
+                    if tail.startswith(hf):
+                        tail = tail.replace(hf, ours, 1)
+                        break
+                out[f"{head}.self_attn.{tail}"] = jnp.asarray(
+                    np.asarray(w))
+                continue
+            if ".conv.norm." in k:
+                out[k.replace(".conv.norm.", ".conv.batch_norm.")] = w
+                continue
+            if ".conv." in k and k.endswith("weight") and \
+                    ("pointwise_conv" in k or "depthwise_conv" in k):
+                out[k] = conv1d_w(w)
+                continue
+            out[k] = w
+        return out
 
     # -- encoder -------------------------------------------------------------
 

@@ -19,6 +19,8 @@ MODEL_REMAPPING = {
     "distil": "whisper",
     "voxtral_realtime": "voxtral_realtime",
     "parakeet": "parakeet",
+    "parakeet_ctc": "parakeet",
+    "parakeet_encoder": "parakeet",
     "wav2vec2": "mms",
     "wav2vec": "mms",
     "mms": "mms",

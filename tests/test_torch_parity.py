@@ -710,3 +710,70 @@ class TestBarkTorchParity:
         assert ours.shape == ref.shape
         np.testing.assert_allclose(ours, ref, atol=ATOL)
 
+
+
+# ---------------------------------------------------------------------------
+# Parakeet: FastConformer encoder + CTC head vs HF ParakeetForCTC
+# ---------------------------------------------------------------------------
+
+
+class TestParakeetTorchParity:
+    @pytest.fixture(scope="class")
+    def pair(self):
+        if not hasattr(transformers, "ParakeetForCTC"):
+            pytest.skip("transformers without Parakeet")
+        from mlx_audio_tpu.stt.models.parakeet import Model, ModelConfig
+        from mlx_audio_tpu.utils import unflatten
+
+        ec = transformers.ParakeetEncoderConfig(
+            hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+            intermediate_size=64, conv_kernel_size=9, num_mel_bins=32,
+            subsampling_conv_channels=16, subsampling_factor=8,
+            subsampling_conv_kernel_size=3, dropout=0.0,
+            dropout_positions=0.0, layerdrop=0.0, attention_dropout=0.0,
+            activation_dropout=0.0)
+        cfg = transformers.ParakeetCTCConfig(
+            encoder_config=ec.to_dict(), vocab_size=40)
+        torch.manual_seed(0)
+        hf = transformers.ParakeetForCTC(cfg).eval()
+        m = Model(ModelConfig.from_dict(cfg.to_dict()))
+        m.bind(unflatten(m.sanitize(
+            {k: _np(v) for k, v in hf.state_dict().items()})))
+        return hf, m
+
+    def test_config_translation(self, pair):
+        _, m = pair
+        a = m.enc_args
+        assert (a.d_model, a.n_layers, a.feat_in) == (32, 2, 32)
+        assert a.xscaling is True          # HF scale_input default
+        assert m.config.vocab_size == 39   # HF vocab includes blank
+
+    def test_encoder_matches(self, pair):
+        from mlx_audio_tpu.stt.models.parakeet.conformer import (
+            conformer_forward)
+
+        hf, m = pair
+        mel = np.random.default_rng(0).standard_normal(
+            (2, 64, 32)).astype(np.float32)
+        with torch.no_grad():
+            ref = hf.encoder(
+                input_features=torch.tensor(mel)).last_hidden_state
+        ours = np.asarray(conformer_forward(
+            m.params["encoder"], m.enc_args, jnp.asarray(mel)))
+        np.testing.assert_allclose(ours, _np(ref), atol=ATOL)
+
+    def test_ctc_logits_match(self, pair):
+        from mlx_audio_tpu.nn import apply_conv1d
+        from mlx_audio_tpu.stt.models.parakeet.conformer import (
+            conformer_forward)
+
+        hf, m = pair
+        mel = np.random.default_rng(1).standard_normal(
+            (1, 80, 32)).astype(np.float32)
+        with torch.no_grad():
+            ref = hf(input_features=torch.tensor(mel)).logits
+        enc = conformer_forward(m.params["encoder"], m.enc_args,
+                                jnp.asarray(mel))
+        ours = np.asarray(apply_conv1d(
+            m.params["ctc_decoder"]["conv"], enc))
+        np.testing.assert_allclose(ours, _np(ref), atol=ATOL)
