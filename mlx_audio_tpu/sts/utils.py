@@ -40,6 +40,19 @@ def infer_model_type_from_config(config: dict) -> Optional[str]:
 
 
 def load_model(model_path: Union[str, Path], **kwargs):
+    if "model_type" not in kwargs:
+        # STS checkpoints often ship without model_type (e.g. raw kyutai
+        # moshi configs) — infer it from characteristic keys, as the
+        # reference does before dispatch (sts/utils.py:29-60)
+        from ..utils import get_model_path, load_config
+
+        try:
+            inferred = infer_model_type_from_config(
+                load_config(get_model_path(str(model_path))))
+        except (FileNotFoundError, OSError):
+            inferred = None
+        if inferred:
+            kwargs["model_type"] = inferred
     return base_load_model(
         model_path=model_path,
         category="sts",

@@ -777,3 +777,199 @@ class TestParakeetTorchParity:
         ours = np.asarray(apply_conv1d(
             m.params["ctc_decoder"]["conv"], enc))
         np.testing.assert_allclose(ours, _np(ref), atol=ATOL)
+
+
+# ---------------------------------------------------------------------------
+# Moshi: main transformer text logits + depformer slice logits through
+# sanitize() from the HF transformers layout (kmhf/hf-moshiko)
+# ---------------------------------------------------------------------------
+
+
+class TestMoshiTorchParity:
+    @pytest.fixture(scope="class")
+    def pair(self):
+        from transformers import MoshiConfig, MoshiForConditionalGeneration
+
+        from mlx_audio_tpu.sts.models.moshi import Lm, LmConfig
+        from mlx_audio_tpu.sts.models.moshi.moshi import sanitize_lm
+        from mlx_audio_tpu.utils import unflatten
+
+        torch.manual_seed(0)
+        hf_cfg = MoshiConfig(
+            hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=4, head_dim=16, audio_vocab_size=33,
+            vocab_size=101, ffn_dim=88, rope_theta=10000.0,
+            sliding_window=64, max_position_embeddings=128, num_codebooks=4,
+            tie_word_embeddings=False,
+            audio_encoder_config=dict(model_type="mimi"),
+            depth_decoder_config=dict(
+                hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+                num_key_value_heads=4, head_dim=8, audio_vocab_size=33,
+                vocab_size=101, ffn_dim=44, sliding_window=8,
+                num_codebooks=4, input_size=64))
+        hf = MoshiForConditionalGeneration(hf_cfg).eval()
+        with torch.no_grad():
+            # FlexibleLinear stacks init as raw randn -> |logits| ~ 1e3,
+            # which turns fp32 matmul noise into tolerance failures
+            for name, param in hf.named_parameters():
+                if param.ndim == 3 and "depth_decoder" in name:
+                    param.mul_(0.05)
+
+        cfg = LmConfig(
+            transformer=dict(d_model=64, num_heads=4, num_layers=2,
+                             dim_feedforward=88, hidden=44, context=63,
+                             max_period=10000.0),
+            depformer=dict(d_model=32, num_heads=4, num_layers=2,
+                           dim_feedforward=44, hidden=22, num_slices=4,
+                           context=8),
+            text_in_vocab_size=102, text_out_vocab_size=101,
+            audio_vocab_size=34, audio_codebooks=8,
+            audio_delays=[0, 1, 1, 1, 0, 1, 1, 1])
+        lm = Lm(cfg)
+        flat = sanitize_lm(
+            {k: jnp.asarray(_np(v)) for k, v in hf.state_dict().items()
+             if not k.startswith("audio_encoder")}, cfg)
+        lm.bind(unflatten(dict(flat)))
+        return hf, lm
+
+    @pytest.fixture(scope="class")
+    def tokens(self):
+        rs = np.random.RandomState(0)
+        return (rs.randint(0, 101, (1, 6)),
+                rs.randint(0, 33, (1, 4, 6)),
+                rs.randint(0, 33, (1, 4, 6)))
+
+    def _hf_hidden(self, hf, text, own, other):
+        emb = hf.decoder.model.embed_tokens(torch.from_numpy(text))
+        codes = torch.from_numpy(np.concatenate([own, other], axis=1))
+        for cb in range(8):
+            emb = emb + hf.embed_tokens[cb](codes[:, cb])
+        return hf.decoder.model(inputs_embeds=emb).last_hidden_state
+
+    def _our_hidden(self, lm, text, own, other):
+        from mlx_audio_tpu.sts.models.moshi.moshi import (
+            apply_scaled_embedding)
+
+        p = lm.params
+        xs = apply_scaled_embedding(p["text_emb"], jnp.asarray(text), 102)
+        codes = np.concatenate([own, other], axis=1)
+        for cb in range(8):
+            xs = xs + apply_scaled_embedding(
+                p["audio_embs"][str(cb)], jnp.asarray(codes[:, cb]), 34)
+        t = lm.config.transformer
+        hidden, _ = lm._main_step(p, xs, [None] * t.num_layers, 0)
+        return hidden
+
+    def test_text_logits_match(self, pair, tokens):
+        from mlx_audio_tpu.nn import apply_linear
+
+        hf, lm = pair
+        text, own, other = tokens
+        with torch.no_grad():
+            ref_h = self._hf_hidden(hf, text, own, other)
+            ref = _np(hf.decoder.lm_head(ref_h))
+        hidden = self._our_hidden(lm, text, own, other)
+        ours = np.asarray(apply_linear(lm.params["text_linear"], hidden))
+        np.testing.assert_allclose(ours, ref, atol=ATOL)
+
+    def test_depformer_slice_logits_match(self, pair, tokens):
+        hf, lm = pair
+        text, own, other = tokens
+        # depth input: [last text token, own cb0..cb2] teacher-forced
+        depth_in = np.concatenate(
+            [text[:, -1:], own[:, :3, -1]], axis=1)  # (1, 4)
+        with torch.no_grad():
+            ref_h = self._hf_hidden(hf, text, own, other)
+            dd = hf.depth_decoder(
+                input_ids=torch.from_numpy(depth_in),
+                last_hidden_state=ref_h[:, -1:].expand(1, 4, 64),
+                use_cache=False)
+            ref = _np(dd.logits)
+        hidden = self._our_hidden(lm, text, own, other)
+        ours = np.asarray(lm.depformer_logits(
+            lm.params, hidden[:, -1:], jnp.asarray(depth_in)))
+        # randn-init FlexibleLinear stacks drive |logits| ~ 1e3; use rtol
+        np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=ATOL)
+
+    def test_kv_cached_decode_matches_prefill(self, pair, tokens):
+        from mlx_audio_tpu.nn import apply_linear
+
+        hf, lm = pair
+        text, own, other = tokens
+        full = self._our_hidden(lm, text, own, other)
+        # replay one token at a time through the jitted KV-cached step
+        from mlx_audio_tpu.sts.models.moshi.moshi import (
+            apply_scaled_embedding)
+
+        p = lm.params
+        caches = lm.make_caches(1, max_steps=16)
+        codes = np.concatenate([own, other], axis=1)
+        outs = []
+        for i in range(text.shape[1]):
+            xs = apply_scaled_embedding(
+                p["text_emb"], jnp.asarray(text[:, i: i + 1]), 102)
+            for cb in range(8):
+                xs = xs + apply_scaled_embedding(
+                    p["audio_embs"][str(cb)],
+                    jnp.asarray(codes[:, cb, i: i + 1]), 34)
+            h, caches = lm._main_step(p, xs, caches, i)
+            outs.append(np.asarray(h[:, 0]))
+        np.testing.assert_allclose(
+            np.stack(outs, axis=1), np.asarray(full), atol=1e-4)
+
+
+class TestMoshiKyutaiPtLayout:
+    """The kyutai PyTorch layout (moshiko-pytorch-bf16) maps exactly onto
+    the param tree (reference lm.py:332-411 load_pytorch_weights)."""
+
+    def test_sanitize_covers_param_tree(self):
+        from mlx_audio_tpu.sts.models.moshi import Lm, LmConfig
+        from mlx_audio_tpu.sts.models.moshi.moshi import sanitize_lm
+        from mlx_audio_tpu.utils import flatten
+
+        cfg = LmConfig(
+            transformer=dict(d_model=64, num_heads=4, num_layers=2,
+                             dim_feedforward=88, hidden=44, context=63),
+            depformer=dict(d_model=32, num_heads=4, num_layers=2,
+                           dim_feedforward=44, hidden=22, num_slices=4,
+                           context=8),
+            text_in_vocab_size=102, text_out_vocab_size=101,
+            audio_vocab_size=34, audio_codebooks=8,
+            audio_delays=[0, 1, 1, 1, 0, 1, 1, 1])
+        lm = Lm(cfg).init_and_bind()
+        want = {k: v.shape for k, v in flatten(lm.params).items()}
+
+        rs = np.random.RandomState(0)
+        w = {"out_norm.alpha": rs.randn(1, 1, 64),
+             "text_emb.weight": rs.randn(102, 64),
+             "text_linear.weight": rs.randn(101, 64),
+             "depformer_text_emb.weight": rs.randn(102, 32)}
+        for cb in range(8):
+            w[f"emb.{cb}.weight"] = rs.randn(34, 64)
+        for li in range(2):
+            pre = f"transformer.layers.{li}"
+            w[f"{pre}.norm1.alpha"] = rs.randn(1, 1, 64)
+            w[f"{pre}.norm2.alpha"] = rs.randn(1, 1, 64)
+            w[f"{pre}.self_attn.in_proj_weight"] = rs.randn(192, 64)
+            w[f"{pre}.self_attn.out_proj.weight"] = rs.randn(64, 64)
+            w[f"{pre}.gating.linear_in.weight"] = rs.randn(88, 64)
+            w[f"{pre}.gating.linear_out.weight"] = rs.randn(64, 44)
+        for s in range(4):
+            w[f"depformer_in.{s}.weight"] = rs.randn(32, 64)
+            w[f"linears.{s}.weight"] = rs.randn(33, 32)
+            if s:
+                w[f"depformer_emb.{s - 1}.weight"] = rs.randn(34, 32)
+        for li in range(2):
+            pre = f"depformer.layers.{li}"
+            w[f"{pre}.norm1.alpha"] = rs.randn(1, 1, 32)
+            w[f"{pre}.norm2.alpha"] = rs.randn(1, 1, 32)
+            w[f"{pre}.self_attn.in_proj_weight"] = rs.randn(4 * 96, 32)
+            w[f"{pre}.self_attn.out_proj.weight"] = rs.randn(4 * 32, 32)
+            for s in range(4):
+                w[f"{pre}.gating.{s}.linear_in.weight"] = rs.randn(44, 32)
+                w[f"{pre}.gating.{s}.linear_out.weight"] = rs.randn(32, 22)
+
+        got = sanitize_lm({k: jnp.asarray(v) for k, v in w.items()}, cfg)
+        assert set(got) == set(want)
+        for k, v in got.items():
+            assert tuple(v.shape) == tuple(want[k]), k
