@@ -804,7 +804,6 @@ class Model(FunctionalModel):
             logits0, hidden0, caches, trailing, tb, jnp.int32(tl), pad_embed,
             plen, key, temperature, top_k, top_p)
 
-        chunk_schedule = [FIRST_CHUNK, CHUNK_TOKENS]
         gen_codes: List[np.ndarray] = [np.asarray(first_codes)[None]]
         finished = bool(np.asarray(first_fin).all())
         total_tokens = 0 if finished else 1
@@ -850,18 +849,42 @@ class Model(FunctionalModel):
             decoded += take
             return audio
 
+        st_key = ("stepper", temperature, top_k, top_p,
+                  repetition_penalty, tb)
+        st = self._jit_cache.get(st_key)
+        if st is None:
+            st = self._make_chunk_stepper(
+                temperature, top_k, top_p, repetition_penalty, tb)
+            self._jit_cache[st_key] = st
+
+        def dispatch(c, n_steps):
+            return st(self.params, c, trailing, jnp.int32(tl), pad_embed,
+                      jnp.int32(n_steps))
+
+        # Pipelined chunk decode: the next chunk's stepper is dispatched on
+        # the carry *futures* before this chunk's codes are read back, so
+        # the device->host readback, codec-decode dispatch and Python
+        # bookkeeping all overlap the next chunk's device compute (the
+        # tunnel round-trip otherwise serializes every chunk).  In streaming
+        # mode speculation starts only after the first audio chunk is out,
+        # keeping TTFA = chunk-1 compute + codec decode.  The speculative
+        # step count is clamped to the remaining token budget, and a carry
+        # whose rows are all finished exits the while_loop on its first
+        # cond evaluation, so an abandoned in-flight chunk after EOS costs
+        # ~nothing.
+        in_flight = None    # (carry', codes, fin, chunk) device futures
+        speculate = not stream
         while not finished and total_tokens < max_tokens:
-            chunk = chunk_schedule[0] if total_tokens <= 1 else chunk_schedule[-1]
-            st_key = ("stepper", temperature, top_k, top_p,
-                      repetition_penalty, tb)
-            st = self._jit_cache.get(st_key)
-            if st is None:
-                st = self._make_chunk_stepper(
-                    temperature, top_k, top_p, repetition_penalty, tb)
-                self._jit_cache[st_key] = st
-            carry, codes_seq, fin_seq = st(self.params, carry, trailing,
-                                           jnp.int32(tl), pad_embed,
-                                           jnp.int32(chunk))
+            if in_flight is None:
+                chunk = FIRST_CHUNK if total_tokens <= 1 else CHUNK_TOKENS
+                chunk = min(chunk, max_tokens - total_tokens)
+                in_flight = dispatch(carry, chunk) + (chunk,)
+            carry, codes_seq, fin_seq, chunk = in_flight
+            in_flight = None
+            if speculate:
+                nxt = min(CHUNK_TOKENS, max_tokens - (total_tokens + chunk))
+                if nxt > 0:
+                    in_flight = dispatch(carry, nxt) + (nxt,)
             codes_np = np.asarray(codes_seq)[:chunk, 0]  # (chunk, G)
             fin_np = np.asarray(fin_seq)[:chunk, 0]
             n_new = int((~fin_np).sum())
@@ -884,6 +907,7 @@ class Model(FunctionalModel):
                                            streaming=True)
                         seg_start = now
                         segment_idx += 1
+                        speculate = True
 
         n_valid = sum(c.shape[0] for c in gen_codes)
         if stream:
