@@ -58,10 +58,11 @@ def bench_kokoro():
 
     audio, _ = synthesize()  # warmup
     n_samples = len(audio)
-    # best-of-N: the tunnel to the chip adds ±15-20% per-run jitter; the
-    # minimum wall is the chip's actual steady-state latency
+    # best-of-N: the tunnel to the chip adds ±15-20% per-run jitter (whole
+    # sessions can run 30%+ slow); the minimum wall is the chip's actual
+    # steady-state latency
     walls = []
-    for _ in range(5):
+    for _ in range(7):
         t0 = time.perf_counter()
         audio, _ = synthesize()
         walls.append(time.perf_counter() - t0)
@@ -101,9 +102,9 @@ def bench_qwen3():
                                   streaming_interval=0.6, seed=0))
     compile_wall = time.perf_counter() - t0
 
-    # timed streaming runs (best-of-2: tunnel jitter)
+    # timed streaming runs (best-of-3: tunnel jitter)
     best = None
-    for seed in (1, 2):
+    for seed in (1, 2, 3):
         t0 = time.perf_counter()
         run_ttfa = None
         samples = 0
@@ -169,9 +170,12 @@ def bench_cohere_asr():
     # energy chunker produces; the timed pass is the warm steady state
     # (matching the reference's warm wall-clock methodology)
     model.generate(audio, language="en", max_tokens=150)
-    t0 = time.perf_counter()
-    out = model.generate(audio, language="en", max_tokens=150)
-    wall = time.perf_counter() - t0
+    wall = None
+    for _ in range(3):  # best-of-3: tunnel jitter
+        t0 = time.perf_counter()
+        out = model.generate(audio, language="en", max_tokens=150)
+        w = time.perf_counter() - t0
+        wall = w if wall is None else min(wall, w)
     return {"xrt": round(audio_s / wall, 2), "wall_s": round(wall, 2),
             "segments": len(out.segments),
             "gen_tokens": out.generation_tokens,

@@ -86,6 +86,8 @@ def convert(
     quant_predicate: Optional[str] = None,
     domain: Optional[str] = None,
     upload_repo: Optional[str] = None,
+    dequantize: bool = False,
+    revision: Optional[str] = None,
 ) -> Path:
     """Convert a checkpoint: load through the domain loader (sanitize +
     layout conversion), optionally quantize (affine int-N, microscaling
@@ -97,7 +99,9 @@ def convert(
 
     from .utils import flatten, get_model_path, load_config
 
-    model_path = get_model_path(hf_path)
+    if quantize and dequantize:
+        raise ValueError("--quantize and --dequantize are mutually exclusive")
+    model_path = get_model_path(hf_path, revision=revision)
     config = load_config(model_path)
     dom = Domain(domain) if domain else detect_model_domain(config, model_path)
 
@@ -129,6 +133,11 @@ def convert(
         config["quantization"] = {
             "group_size": gs, "bits": q_bits, "mode": q_mode,
             **({"recipe": quant_predicate} if quant_predicate else {})}
+    elif dequantize:
+        from .ops.quant import dequantize_tree
+
+        params = dequantize_tree(params)
+        config.pop("quantization", None)
     # cast remaining float leaves
     params = jax.tree.map(
         lambda x: x.astype(target_dtype)
@@ -187,16 +196,22 @@ def main(argv=None):
     parser.add_argument("--quant-predicate", default=None,
                         choices=QUANT_RECIPES,
                         help="Mixed-bit quantization recipe.")
-    parser.add_argument("--domain", default=None,
+    parser.add_argument("--domain", "--model-domain", "--model_domain",
+                        dest="domain", default=None,
                         choices=[d.value for d in Domain])
     parser.add_argument("--upload-repo", default=None)
+    parser.add_argument("-d", "--dequantize", action="store_true",
+                        help="Dequantize a quantized model")
+    parser.add_argument("--revision", type=str, default=None,
+                        help="Model revision to download")
     args = parser.parse_args(argv)
     convert(
         hf_path=args.hf_path, mlx_path=args.mlx_path, dtype=args.dtype,
         quantize=args.quantize, q_group_size=args.q_group_size,
         q_bits=args.q_bits, q_mode=args.q_mode,
         quant_predicate=args.quant_predicate, domain=args.domain,
-        upload_repo=args.upload_repo)
+        upload_repo=args.upload_repo, dequantize=args.dequantize,
+        revision=args.revision)
 
 
 if __name__ == "__main__":

@@ -295,6 +295,27 @@ def maybe_quantize_tree(
     return params
 
 
+def dequantize_tree(params, dtype=jnp.float32):
+    """Reconstruct dense 'weight' leaves from quantized subtrees (affine
+    w_q / microscaling w_fp4 / w_fp8) — the convert CLI's --dequantize path
+    (reference convert.py:730-733)."""
+    if isinstance(params, dict):
+        if "w_q" in params and "scales" in params:
+            out = {k: v for k, v in params.items()
+                   if k not in ("w_q", "scales", "biases")}
+            out["weight"] = dequantize_weight(params, dtype)
+            return out
+        if ("w_fp4" in params or "w_fp8" in params) and "scales" in params:
+            out = {k: v for k, v in params.items()
+                   if k not in ("w_fp4", "w_fp8", "scales")}
+            out["weight"] = dequantize_weight_fp(params, dtype)
+            return out
+        return {k: dequantize_tree(v, dtype) for k, v in params.items()}
+    if isinstance(params, (list, tuple)):
+        return type(params)(dequantize_tree(v, dtype) for v in params)
+    return params
+
+
 def mixed_quant_predicate(recipe: str):
     """Mixed-bit recipe predicate (reference convert.py:22 QUANT_RECIPES,
     mirroring mlx_lm's mixed_quant_predicate_builder): `mixed_L_H` uses

@@ -40,6 +40,7 @@ def generate_audio(
     stream: bool = False,
     streaming_interval: float = 2.0,
     seed: Optional[int] = None,
+    save: bool = False,
     **kwargs,
 ):
     """Load a TTS model and synthesize `text`, writing/playing segments.
@@ -87,12 +88,19 @@ def generate_audio(
                 print(f"Ref_text: {ref_text}")
     has_var_kw = any(p.kind == inspect.Parameter.VAR_KEYWORD
                      for p in sig_params.values())
-    for k, v in dict(
+    candidates = dict(
         temperature=temperature, top_p=top_p, top_k=top_k,
         repetition_penalty=repetition_penalty, max_tokens=max_tokens,
         ref_audio=ref_audio, ref_text=ref_text, stream=stream,
         streaming_interval=streaming_interval, seed=seed,
-    ).items():
+    )
+    # model-specific knobs (reference tts/generate.py:479-607: prompt,
+    # instruct, exaggeration, cfg_scale, ddpm_steps, gen_duration, steps,
+    # stg_*, gender, pitch, sigma, min_p, ...) ride the same
+    # signature-filtered forwarding: anything the model's generate() does
+    # not accept is dropped here, never crashing a foreign checkpoint.
+    candidates.update(kwargs)
+    for k, v in candidates.items():
         if v is not None and (has_var_kw or k in sig_params):
             gen_kwargs[k] = v
     if gen_kwargs.get("voice") is None:
@@ -132,7 +140,9 @@ def generate_audio(
                 print(f"Processing time: "
                       f"{result.processing_time_seconds:.2f}s")
                 print(f"Peak memory: {result.peak_memory_usage:.2f}GB")
-            if not join_audio:
+            # reference semantics (tts/generate.py:348-438): non-stream runs
+            # always write; streaming runs write only with --save
+            if not join_audio and (save or not stream):
                 fname = out_dir / (f"{file_prefix}_"
                                    f"{result.segment_idx:03d}.{audio_format}")
                 audio_io.write(fname, audio, result.sample_rate,
@@ -172,9 +182,43 @@ def parse_args(argv=None):
     parser.add_argument("--max_tokens", type=int, default=1200)
     parser.add_argument("--stream", action="store_true")
     parser.add_argument("--streaming_interval", type=float, default=2.0)
+    parser.add_argument("--save", action="store_true",
+                        help="Save streamed audio to a file (with --stream)")
     parser.add_argument("--seed", type=int, default=None)
     parser.add_argument("--verbose", action=argparse.BooleanOptionalAction,
                         default=True)
+    # model-specific knobs, forwarded only to models whose generate()
+    # accepts them (reference tts/generate.py:479-607)
+    parser.add_argument("--prompt", type=str, default=None,
+                        help="Optional model-specific prompt prefix")
+    parser.add_argument("--instruct", type=str, default=None,
+                        help="CustomVoice/VoiceDesign instruction")
+    parser.add_argument("--exaggeration", type=float, default=None,
+                        help="Voice exaggeration factor (chatterbox)")
+    parser.add_argument("--cfg_scale", type=float, default=None,
+                        help="Classifier-free guidance scale")
+    parser.add_argument("--ddpm_steps", type=int, default=None,
+                        help="Diffusion step override")
+    parser.add_argument("--gen_duration", type=float, default=None,
+                        help="Model-specific generation duration (s)")
+    parser.add_argument("--duration_multiplier", type=float, default=None)
+    parser.add_argument("--steps", type=int, default=None,
+                        help="Model-specific generation step count")
+    parser.add_argument("--stg_scale", type=float, default=None,
+                        help="Spatiotemporal guidance scale (dramabox)")
+    parser.add_argument("--stg_block", type=int, default=None)
+    parser.add_argument("--rescale_scale", type=float, default=None,
+                        help="CFG rescale value")
+    parser.add_argument("--gender", type=str, default=None,
+                        help="Voice gender [male, female] (spark)")
+    parser.add_argument("--pitch", type=float, default=None,
+                        help="Voice pitch (spark)")
+    parser.add_argument("--sigma", type=float, default=None,
+                        help="Model-specific sigma (bailingmm)")
+    parser.add_argument("--use_zero_spk_emb", action="store_true",
+                        help="Zero speaker embedding mode (bailingmm)")
+    parser.add_argument("--min_p", type=float, default=None,
+                        help="Min-p sampling threshold")
     return parser.parse_args(argv)
 
 
@@ -208,7 +252,24 @@ def main(argv=None):
         stream=args.stream,
         streaming_interval=args.streaming_interval,
         seed=args.seed,
+        save=args.save,
         verbose=args.verbose,
+        prompt=args.prompt,
+        instruct=args.instruct,
+        exaggeration=args.exaggeration,
+        cfg_scale=args.cfg_scale,
+        ddpm_steps=args.ddpm_steps,
+        gen_duration=args.gen_duration,
+        duration_multiplier=args.duration_multiplier,
+        steps=args.steps,
+        stg_scale=args.stg_scale,
+        stg_block=args.stg_block,
+        rescale_scale=args.rescale_scale,
+        gender=args.gender,
+        pitch=args.pitch,
+        sigma=args.sigma,
+        use_zero_spk_emb=args.use_zero_spk_emb or None,
+        min_p=args.min_p,
     )
 
 

@@ -66,6 +66,38 @@ class TestConvert:
         rel = np.abs(aq - ad).max() / (np.abs(ad).max() + 1e-9)
         assert rel < 0.5  # int8 through exp-amplified vocoder
 
+    def test_dequantize_roundtrip(self, ckpt_dir, tmp_path):
+        """quantize -> --dequantize: dense weights come back, config's
+        quantization block is dropped, output stays close to the quantized
+        model (reference convert.py:730-733)."""
+        from mlx_audio_tpu.convert import convert
+        from mlx_audio_tpu.tts.utils import load_model
+        from mlx_audio_tpu.utils import flatten
+
+        q = convert(str(ckpt_dir), mlx_path=str(tmp_path / "q"),
+                    dtype="float32", quantize=True, q_bits=8,
+                    q_group_size=16)
+        d = convert(str(q), mlx_path=str(tmp_path / "dq"), dtype="float32",
+                    dequantize=True)
+        cfg = json.loads((d / "config.json").read_text())
+        assert "quantization" not in cfg
+        md = load_model(d)
+        flat = flatten(md.params)
+        assert not any(k.endswith(("w_q", "w_fp4", "w_fp8")) for k in flat)
+        mq = load_model(q)
+        ref_s = np.random.RandomState(1).randn(1, 32).astype(np.float32)
+        ad, _ = md("hɛlO", ref_s, deterministic_noise=True)
+        aq, _ = mq("hɛlO", ref_s, deterministic_noise=True)
+        rel = np.abs(aq - ad).max() / (np.abs(ad).max() + 1e-9)
+        assert rel < 1e-2  # dequant == what the quantized matmul computes
+
+    def test_quantize_dequantize_exclusive(self, ckpt_dir, tmp_path):
+        from mlx_audio_tpu.convert import convert
+
+        with pytest.raises(ValueError):
+            convert(str(ckpt_dir), mlx_path=str(tmp_path / "x"),
+                    quantize=True, dequantize=True)
+
     def test_domain_detection(self, ckpt_dir):
         from mlx_audio_tpu.convert import Domain, detect_model_domain
 
