@@ -166,10 +166,29 @@ class STTExecutionAdapter(BaseModelExecutionAdapter):
         self.provider = provider
 
     def run_serial(self, request: InferenceRequest) -> None:
+        import inspect
+
         model = self.provider.get_cached(request.model_name)
         if model is None:
             raise ValueError(f"Model not loaded: {request.model_name}")
-        output = model.generate(request.payload, **request.normalized_kwargs)
+        kwargs = dict(request.normalized_kwargs)
+        stream = bool(kwargs.pop("stream", False))
+        sig = inspect.signature(model.generate).parameters
+        has_var = any(p.kind == inspect.Parameter.VAR_KEYWORD
+                      for p in sig.values())
+        if not has_var:
+            kwargs = {k: v for k, v in kwargs.items() if k in sig}
+        if stream and "stream" in sig:
+            # chunked transcription (reference server.py:1060-1092 consumes
+            # the model's streamed deltas)
+            for chunk in model.generate(request.payload, stream=True,
+                                        **kwargs):
+                if request.cancel_event.is_set():
+                    break
+                request.emit_data(chunk)
+            request.emit_done()
+            return
+        output = model.generate(request.payload, **kwargs)
         request.emit_data(output)
         request.emit_done()
 
@@ -417,15 +436,14 @@ class AudioServer:
                           "formats require ffmpeg)"}, status=400)
         stream = bool(body.get("stream", False))
         kwargs = {}
-        for k_src, k_dst in (("voice", "voice"), ("speed", "speed"),
-                             ("lang_code", "lang_code"),
-                             ("language", "language"),
-                             ("temperature", "temperature"),
-                             ("top_p", "top_p"), ("top_k", "top_k"),
-                             ("repetition_penalty", "repetition_penalty"),
-                             ("max_tokens", "max_tokens"), ("seed", "seed")):
-            if body.get(k_src) is not None:
-                kwargs[k_dst] = body[k_src]
+        # full reference SpeechRequest field set (server.py:167-186); the
+        # broker adapter signature-filters per model
+        for k in ("voice", "speed", "lang_code", "language", "temperature",
+                  "top_p", "top_k", "repetition_penalty", "max_tokens",
+                  "seed", "instruct", "gender", "pitch", "ref_text",
+                  "streaming_interval"):
+            if body.get(k) is not None:
+                kwargs[k] = body[k]
         if stream:
             kwargs["stream"] = True
 
@@ -434,6 +452,35 @@ class AudioServer:
             await self.provider.load(model_name, category="tts")
         except Exception as e:
             return web.json_response({"error": str(e)}, status=404)
+
+        # ref_audio: server-local path (reference server.py:600-611) or
+        # base64-encoded audio bytes -> waveform at the model's sample rate
+        ref_audio = body.get("ref_audio")
+        if ref_audio:
+            model = self.provider.get_cached(model_name)
+            target_sr = getattr(model, "sample_rate", 24000)
+            try:
+                if os.path.exists(ref_audio):
+                    from .utils import load_audio
+
+                    wav = np.asarray(load_audio(ref_audio,
+                                                sample_rate=target_sr))
+                else:
+                    raw = base64.b64decode(ref_audio, validate=True)
+                    wav, sr = audio_io.read(io.BytesIO(raw),
+                                            dtype="float32")
+                    if wav.ndim > 1:
+                        wav = wav.mean(axis=1)
+                    if sr != target_sr:
+                        from .utils import resample_audio
+
+                        wav = np.asarray(
+                            resample_audio(wav, sr, target_sr))
+                kwargs["ref_audio"] = wav
+            except Exception:
+                return web.json_response(
+                    {"error": f"reference audio not found or undecodable: "
+                              f"{str(ref_audio)[:80]}"}, status=404)
 
         handle = self.broker.submit(endpoint_kind="tts",
                                     model_name=model_name, payload=text,
@@ -518,22 +565,67 @@ class AudioServer:
             from .utils import resample_audio
 
             audio = resample_audio(audio, sr, 16000)
+        # full reference TranscriptionRequest field set (server.py:189-201);
+        # the adapter signature-filters, so model-specific knobs are safe
+        def _truthy(v):
+            return str(v).lower() in ("1", "true", "yes", "on")
+
         kwargs = {}
-        if fields.get("language"):
-            kwargs["language"] = fields["language"]
-        if fields.get("temperature") is not None:
-            try:
-                kwargs["temperature"] = float(fields["temperature"])
-            except (TypeError, ValueError):
-                pass
+        for k, cast in (("language", str), ("temperature", float),
+                        ("max_tokens", int), ("chunk_duration", float),
+                        ("frame_threshold", int), ("context", str),
+                        ("prefill_step_size", int), ("text", str),
+                        ("prompt", str), ("initial_prompt", str),
+                        ("word_timestamps", _truthy),
+                        ("timestamp_granularities", str)):
+            v = fields.get(k)
+            if v not in (None, ""):
+                try:
+                    kwargs[k] = cast(v)
+                except (TypeError, ValueError):
+                    pass
+        stream_flag = _truthy(fields.get("stream", False))
+        if stream_flag:
+            kwargs["stream"] = True
 
         handle = self.broker.submit(endpoint_kind="stt",
                                     model_name=model_name, payload=audio,
-                                    normalized_kwargs=kwargs)
+                                    normalized_kwargs=kwargs,
+                                    stream=stream_flag)
+
+        if response_format == "ndjson":
+            # native streaming transport (reference server.py:1014-1018):
+            # one JSON object per line as the model emits them
+            resp = web.StreamResponse(headers={
+                "Content-Type": "application/x-ndjson",
+                "Transfer-Encoding": "chunked"})
+            await resp.prepare(request)
+            try:
+                async for payload in _drain_handle(handle):
+                    line = {"text": payload.text}
+                    if getattr(payload, "segments", None):
+                        line["segments"] = payload.segments
+                    if getattr(payload, "language", None):
+                        line["language"] = payload.language
+                    await resp.write(
+                        (json.dumps(line) + "\n").encode())
+            except Exception as e:
+                await resp.write(
+                    (json.dumps({"error": str(e)}) + "\n").encode())
+            await resp.write_eof()
+            return resp
+
         output = None
         try:
             async for payload in _drain_handle(handle):
-                output = payload
+                if output is None:
+                    output = payload
+                else:  # streamed chunks: accumulate text + segments
+                    output.text = (output.text or "") + (payload.text or "")
+                    if getattr(payload, "segments", None):
+                        segs = list(output.segments or [])
+                        segs.extend(payload.segments)
+                        output.segments = segs
         except Exception as e:
             return web.json_response({"error": str(e)}, status=500)
 

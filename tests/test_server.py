@@ -279,6 +279,137 @@ class TestEndpoints:
 
         _run(go())
 
+    def test_tts_extended_request_fields(self):
+        """instruct/gender/pitch/ref_audio/streaming_interval ride through
+        with signature filtering (reference SpeechRequest, server.py:167-186)."""
+        async def go():
+            import base64
+
+            from aiohttp.test_utils import TestClient, TestServer
+
+            from mlx_audio_tpu import audio_io
+
+            server = _make_client_app()
+            seen = {}
+
+            class KnobTTS:
+                sample_rate = 24000
+
+                def generate(self, text, instruct=None, ref_audio=None,
+                             ref_text=None, **kwargs):
+                    seen.update(instruct=instruct, ref_text=ref_text,
+                                ref_audio_len=None if ref_audio is None
+                                else len(ref_audio))
+                    yield _FakeResult(audio=np.zeros(100, np.float32))
+
+            server.provider._models["knob-tts"] = KnobTTS()
+            wav = io.BytesIO()
+            audio_io.write(wav, np.zeros(2400, np.float32), 24000)
+            b64 = base64.b64encode(wav.getvalue()).decode()
+            async with TestClient(TestServer(server.app)) as client:
+                r = await client.post("/v1/audio/speech", json={
+                    "model": "knob-tts", "input": "x",
+                    "instruct": "whisper softly", "gender": "female",
+                    "pitch": 1.2, "ref_audio": b64, "ref_text": "hi"})
+                assert r.status == 200
+                await r.read()
+                # bad ref_audio -> 404, like the reference's missing-path error
+                r = await client.post("/v1/audio/speech", json={
+                    "model": "knob-tts", "input": "x",
+                    "ref_audio": "/nonexistent/voice.wav"})
+                assert r.status == 404
+            server.broker.stop_and_join()
+            assert seen["instruct"] == "whisper softly"
+            assert seen["ref_text"] == "hi"
+            assert seen["ref_audio_len"] == 2400  # decoded to waveform
+
+        _run(go())
+
+    def test_stt_ndjson_streaming(self):
+        """response_format=ndjson + stream=true emits one JSON line per
+        model chunk (reference server.py:1014-1018)."""
+        async def go():
+            import aiohttp
+            from aiohttp.test_utils import TestClient, TestServer
+
+            from mlx_audio_tpu import audio_io
+            from mlx_audio_tpu.stt.models.base import STTOutput
+
+            server = _make_client_app()
+
+            class StreamSTT:
+                def generate(self, audio, stream=False, **kwargs):
+                    assert stream
+                    yield STTOutput(text="hello ")
+                    yield STTOutput(text="world", language="en")
+
+            server.provider._models["stream-stt"] = StreamSTT()
+            wav = io.BytesIO()
+            audio_io.write(wav, np.zeros(16000, np.float32), 16000)
+            async with TestClient(TestServer(server.app)) as client:
+                form = aiohttp.FormData()
+                form.add_field("file", wav.getvalue(), filename="a.wav")
+                form.add_field("model", "stream-stt")
+                form.add_field("stream", "true")
+                form.add_field("response_format", "ndjson")
+                r = await client.post("/v1/audio/transcriptions", data=form)
+                assert r.status == 200
+                lines = [json.loads(ln) for ln in
+                         (await r.text()).strip().splitlines()]
+                assert [ln["text"] for ln in lines] == ["hello ", "world"]
+
+                # stream=true + text format accumulates chunks
+                form = aiohttp.FormData()
+                form.add_field("file", wav.getvalue(), filename="a.wav")
+                form.add_field("model", "stream-stt")
+                form.add_field("stream", "true")
+                form.add_field("response_format", "text")
+                r = await client.post("/v1/audio/transcriptions", data=form)
+                assert (await r.text()).strip() == "hello world"
+            server.broker.stop_and_join()
+
+        _run(go())
+
+    def test_stt_extended_fields_filtered(self):
+        """chunk_duration/context/etc. are coerced + signature-filtered."""
+        async def go():
+            import aiohttp
+            from aiohttp.test_utils import TestClient, TestServer
+
+            from mlx_audio_tpu import audio_io
+            from mlx_audio_tpu.stt.models.base import STTOutput
+
+            server = _make_client_app()
+            seen = {}
+
+            class KnobSTT:
+                def generate(self, audio, language=None,
+                             chunk_duration=30.0, context=None):
+                    seen.update(language=language,
+                                chunk_duration=chunk_duration,
+                                context=context)
+                    return STTOutput(text="ok")
+
+            server.provider._models["knob-stt"] = KnobSTT()
+            wav = io.BytesIO()
+            audio_io.write(wav, np.zeros(16000, np.float32), 16000)
+            async with TestClient(TestServer(server.app)) as client:
+                form = aiohttp.FormData()
+                form.add_field("file", wav.getvalue(), filename="a.wav")
+                form.add_field("model", "knob-stt")
+                form.add_field("language", "de")
+                form.add_field("chunk_duration", "20.5")
+                form.add_field("context", "hotwords here")
+                form.add_field("frame_threshold", "25")  # filtered out
+                form.add_field("max_tokens", "64")       # filtered out
+                r = await client.post("/v1/audio/transcriptions", data=form)
+                assert r.status == 200
+            server.broker.stop_and_join()
+            assert seen == {"language": "de", "chunk_duration": 20.5,
+                            "context": "hotwords here"}
+
+        _run(go())
+
     def test_separations_endpoint(self):
         async def go():
             import base64
