@@ -973,3 +973,68 @@ class TestMoshiKyutaiPtLayout:
         assert set(got) == set(want)
         for k, v in got.items():
             assert tuple(v.shape) == tuple(want[k]), k
+
+
+class TestConfucius4W2vBertParity:
+    """confucius4's w2v-BERT conditioner vs HF Wav2Vec2BertModel.
+
+    The repo's `w2v_hidden17` (confucius4.py:107) consumes the HF
+    w2v-bert-2.0 state-dict naming directly, so a tiny random-init
+    Wav2Vec2BertModel is a bit-level oracle for the conformer stack
+    (relative-key attention, causal GLU conv module, macaron FFNs).
+    """
+
+    @pytest.fixture(scope="class")
+    def pair(self):
+        torch = pytest.importorskip("torch")
+        from transformers import Wav2Vec2BertConfig, Wav2Vec2BertModel
+
+        from mlx_audio_tpu.tts.models.confucius4 import ModelConfig
+        from mlx_audio_tpu.tts.models.confucius4.confucius4 import (
+            w2v_hidden17,
+        )
+
+        hf_cfg = Wav2Vec2BertConfig(
+            hidden_size=64, num_hidden_layers=3, num_attention_heads=4,
+            intermediate_size=128, feature_projection_input_dim=24,
+            position_embeddings_type="relative_key",
+            left_max_position_embeddings=64,
+            right_max_position_embeddings=8,
+            conv_depthwise_kernel_size=31,
+            hidden_dropout=0.0, activation_dropout=0.0,
+            attention_dropout=0.0, feat_proj_dropout=0.0,
+            conformer_conv_dropout=0.0, output_hidden_size=None,
+            add_adapter=False)
+        torch.manual_seed(0)
+        hf = Wav2Vec2BertModel(hf_cfg).eval()
+
+        W = {k: jnp.asarray(v.detach().numpy())
+             for k, v in hf.state_dict().items()}
+        cfg = ModelConfig(w2v_hidden=64, w2v_heads=4, w2v_layers=3)
+        return hf, W, cfg, w2v_hidden17
+
+    def test_hidden_states_match(self, pair):
+        torch = pytest.importorskip("torch")
+        hf, W, cfg, w2v_hidden17 = pair
+        rs = np.random.RandomState(0)
+        feats = rs.randn(1, 37, 24).astype(np.float32)
+        with torch.no_grad():
+            ref = hf(torch.from_numpy(feats)).last_hidden_state.numpy()
+        got = np.asarray(w2v_hidden17(W, cfg, jnp.asarray(feats)))
+        np.testing.assert_allclose(got, ref, atol=2e-4, rtol=2e-3)
+
+    def test_intermediate_layer_matches(self, pair):
+        """cfg.w2v_layers < depth: repo stops at hidden_states[k] like the
+        reference's hidden-17 tap of the 24-layer encoder."""
+        torch = pytest.importorskip("torch")
+        hf, W, cfg, w2v_hidden17 = pair
+        from mlx_audio_tpu.tts.models.confucius4 import ModelConfig
+
+        cfg2 = ModelConfig(w2v_hidden=64, w2v_heads=4, w2v_layers=2)
+        rs = np.random.RandomState(1)
+        feats = rs.randn(1, 21, 24).astype(np.float32)
+        with torch.no_grad():
+            ref = hf(torch.from_numpy(feats),
+                     output_hidden_states=True).hidden_states[2].numpy()
+        got = np.asarray(w2v_hidden17(W, cfg2, jnp.asarray(feats)))
+        np.testing.assert_allclose(got, ref, atol=2e-4, rtol=2e-3)
