@@ -463,6 +463,18 @@ def audio_volume_normalize(audio: np.ndarray, coeff: float = 0.2) -> np.ndarray:
     return audio
 
 
+def random_select_audio_segment(audio: np.ndarray, length: int) -> np.ndarray:
+    """Random fixed-length segment (zero-padded if short) — used by voice
+    cloning prompt croppers (reference utils.py:519-538)."""
+    import random
+
+    audio = np.asarray(audio)
+    if audio.shape[0] < length:
+        audio = np.pad(audio, (0, int(length - audio.shape[0])))
+    start = random.randint(0, audio.shape[0] - length)
+    return audio[start:start + int(length)]
+
+
 def resample_audio(
     audio: np.ndarray, orig_sr: int, target_sr: int
 ) -> np.ndarray:

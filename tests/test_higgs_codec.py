@@ -111,3 +111,58 @@ class TestSanitize:
         assert set(again) == set(flat)
         for k in flat:
             assert again[k].shape == flat[k].shape, k
+
+
+class TestHubertSemanticParity:
+    """hubert_hidden_mean vs HF HubertModel all-hidden-state mean.
+
+    The Higgs v2 tokenizer fuses the MEAN of every HuBERT encoder hidden
+    state (reference codec/models/higgs_audio semantic fusion); this pins
+    that reduction — not just the backbone — against torch.
+    """
+
+    def test_all_layer_mean_matches_hf(self):
+        torch = pytest.importorskip("torch")
+        transformers = pytest.importorskip("transformers")
+        from transformers import HubertConfig, HubertModel
+
+        from mlx_audio_tpu.codec.models.higgs_audio.higgs_audio import (
+            hubert_hidden_mean,
+        )
+        from mlx_audio_tpu.stt.models.wav2vec import (
+            ModelConfig as W2VConfig, sanitize_wav2vec2,
+        )
+        from mlx_audio_tpu.utils import unflatten
+
+        hf_cfg = HubertConfig(
+            hidden_size=24, num_hidden_layers=2, num_attention_heads=2,
+            intermediate_size=48, conv_dim=(8, 8, 8), conv_stride=(5, 2, 2),
+            conv_kernel=(10, 3, 3), num_feat_extract_layers=3,
+            num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4,
+            hidden_dropout=0.0, activation_dropout=0.0,
+            attention_dropout=0.0, feat_proj_dropout=0.0, layerdrop=0.0,
+            do_stable_layer_norm=False, apply_spec_augment=False)
+        torch.manual_seed(0)
+        hf = HubertModel(hf_cfg).eval()
+
+        cfg = W2VConfig(
+            hidden_size=24, num_hidden_layers=2, num_attention_heads=2,
+            intermediate_size=48, feat_extract_norm=hf_cfg.feat_extract_norm,
+            conv_dim=(8, 8, 8), conv_stride=(5, 2, 2),
+            conv_kernel=(10, 3, 3), conv_bias=hf_cfg.conv_bias,
+            num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4,
+            num_feat_extract_layers=3, do_stable_layer_norm=False)
+        flat = sanitize_wav2vec2(
+            {k: v.detach().numpy() for k, v in hf.state_dict().items()})
+        params = unflatten({k: jnp.asarray(v) for k, v in flat.items()})
+
+        rs = np.random.RandomState(0)
+        wave = (rs.randn(1, 800) * 0.1).astype(np.float32)
+        with torch.no_grad():
+            out = hf(torch.from_numpy(wave), output_hidden_states=True)
+        ref = torch.stack(out.hidden_states).mean(0).numpy()
+
+        got = np.asarray(hubert_hidden_mean(
+            params, cfg, jnp.asarray(wave),
+            jnp.asarray([wave.shape[1]])))
+        np.testing.assert_allclose(got, ref, atol=2e-4, rtol=2e-3)
