@@ -757,9 +757,27 @@ class AudioServer:
         feeding = svad is None  # no VAD -> manual commit mode
         item_id = 0
         # prefer true streaming sessions when the model supports the
-        # feed/step/close protocol (reference server.py:1611)
+        # feed/step/close protocol (reference server.py:1611); forward
+        # transcription_delay_ms only to sessions that declare it
+        # (reference :1458-1480, MLX_AUDIO_REALTIME_TRANSCRIPTION_DELAY_MS)
         make_session = getattr(model, "create_streaming_session", None)
-        session = make_session() if callable(make_session) else None
+        session = None
+        if callable(make_session):
+            delay_raw = os.getenv("MLX_AUDIO_REALTIME_TRANSCRIPTION_DELAY_MS")
+            session_kwargs = {}
+            if delay_raw:
+                import inspect
+
+                try:
+                    sig = inspect.signature(make_session).parameters
+                    if "transcription_delay_ms" in sig or any(
+                            p.kind == inspect.Parameter.VAR_KEYWORD
+                            for p in sig.values()):
+                        session_kwargs["transcription_delay_ms"] = \
+                            int(delay_raw)
+                except (TypeError, ValueError):
+                    pass
+            session = make_session(**session_kwargs)
 
         await ws.send_json({
             "type": "session.created",
@@ -915,15 +933,55 @@ def create_app(tensor_parallel: Optional[int] = None) -> web.Application:
 
 
 def main(argv=None):
+    # CLI flags bridge to the same env vars the reference uses
+    # (reference server.py:2015-2113)
     parser = argparse.ArgumentParser(description="mlx_audio_tpu server")
     parser.add_argument("--host", default="0.0.0.0")
     parser.add_argument("--port", type=int, default=8000)
     parser.add_argument("--tensor-parallel", type=int, default=None,
                         help="TP-shard every loaded model over N devices")
+    parser.add_argument("--allowed-origins", nargs="+", default=None,
+                        help="CORS origins (MLX_AUDIO_ALLOWED_ORIGINS)")
+    parser.add_argument("--realtime-model", type=str, default=None,
+                        help="Default model for /v1/realtime "
+                             "(MLX_AUDIO_REALTIME_MODEL)")
+    parser.add_argument("--realtime-transcription-delay-ms", type=int,
+                        default=None,
+                        help="Streaming transcription delay override "
+                             "(MLX_AUDIO_REALTIME_TRANSCRIPTION_DELAY_MS)")
+    parser.add_argument("--vad-model", type=str, default=None,
+                        help="VAD model for server turn detection "
+                             "(MLX_AUDIO_VAD_MODEL)")
+    parser.add_argument("--tts-max-batch-size", type=int, default=None,
+                        help="Continuous-batch slot count "
+                             "(MLX_AUDIO_TTS_MAX_BATCH_SIZE)")
+    parser.add_argument("--realtime", action="store_true",
+                        help="Accepted for reference compatibility; "
+                             "/v1/realtime is always served")
+    parser.add_argument("--start-ui", action="store_true",
+                        help="Accepted for reference compatibility; the "
+                             "studio UI is always served at /")
     args = parser.parse_args(argv)
+    _bridge_cli_env(args)
     print(f"Studio UI available at http://{args.host}:{args.port}/")
     web.run_app(create_app(tensor_parallel=args.tensor_parallel),
                 host=args.host, port=args.port)
+
+
+def _bridge_cli_env(args) -> None:
+    if args.allowed_origins:
+        os.environ["MLX_AUDIO_ALLOWED_ORIGINS"] = ",".join(
+            args.allowed_origins)
+    if args.realtime_model:
+        os.environ["MLX_AUDIO_REALTIME_MODEL"] = args.realtime_model
+    if args.realtime_transcription_delay_ms is not None:
+        os.environ["MLX_AUDIO_REALTIME_TRANSCRIPTION_DELAY_MS"] = str(
+            args.realtime_transcription_delay_ms)
+    if args.vad_model:
+        os.environ["MLX_AUDIO_VAD_MODEL"] = args.vad_model
+    if args.tts_max_batch_size is not None:
+        os.environ["MLX_AUDIO_TTS_MAX_BATCH_SIZE"] = str(
+            args.tts_max_batch_size)
 
 
 if __name__ == "__main__":

@@ -555,6 +555,80 @@ class TestStudioUI:
 
 
 class TestServerConfig:
+    def test_cli_env_bridge(self, monkeypatch):
+        """Reference CLI flags (server.py:2015-2113) map onto the same
+        env vars the endpoints read."""
+        import argparse
+        import os
+
+        from mlx_audio_tpu.server import _bridge_cli_env
+
+        for var in ("MLX_AUDIO_ALLOWED_ORIGINS", "MLX_AUDIO_REALTIME_MODEL",
+                    "MLX_AUDIO_REALTIME_TRANSCRIPTION_DELAY_MS",
+                    "MLX_AUDIO_VAD_MODEL", "MLX_AUDIO_TTS_MAX_BATCH_SIZE"):
+            monkeypatch.delenv(var, raising=False)
+        args = argparse.Namespace(
+            allowed_origins=["https://a.com", "https://b.com"],
+            realtime_model="voxtral-rt",
+            realtime_transcription_delay_ms=240,
+            vad_model="silero", tts_max_batch_size=8)
+        _bridge_cli_env(args)
+        assert os.environ["MLX_AUDIO_ALLOWED_ORIGINS"] == \
+            "https://a.com,https://b.com"
+        assert os.environ["MLX_AUDIO_REALTIME_MODEL"] == "voxtral-rt"
+        assert os.environ[
+            "MLX_AUDIO_REALTIME_TRANSCRIPTION_DELAY_MS"] == "240"
+        assert os.environ["MLX_AUDIO_VAD_MODEL"] == "silero"
+        assert os.environ["MLX_AUDIO_TTS_MAX_BATCH_SIZE"] == "8"
+
+    def test_realtime_delay_forwarded_to_session(self, monkeypatch):
+        """MLX_AUDIO_REALTIME_TRANSCRIPTION_DELAY_MS reaches
+        create_streaming_session for models that accept it."""
+        async def go():
+            from aiohttp.test_utils import TestClient, TestServer
+
+            server = _make_client_app()
+            seen = {}
+
+            class Ev:
+                kind = "none"
+                text = ""
+
+            class Session:
+                input_sample_rate = 16000
+
+                def feed(self, *a):
+                    pass
+
+                def step(self):
+                    return []
+
+                def close(self):
+                    pass
+
+            class RTModel:
+                def generate(self, audio, **kw):
+                    from mlx_audio_tpu.stt.models.base import STTOutput
+
+                    return STTOutput(text="x")
+
+                def create_streaming_session(self, **kwargs):
+                    seen.update(kwargs)
+                    return Session()
+
+            server.provider._models["rt"] = RTModel()
+            monkeypatch.setenv(
+                "MLX_AUDIO_REALTIME_TRANSCRIPTION_DELAY_MS", "240")
+            async with TestClient(TestServer(server.app)) as client:
+                ws = await client.ws_connect("/v1/realtime?model=rt")
+                msg = await ws.receive_json()
+                assert msg["type"] == "session.created"
+                await ws.close()
+            server.broker.stop_and_join()
+            assert seen.get("transcription_delay_ms") == 240
+
+        _run(go())
+
     def test_cors_headers(self):
         async def go():
             import os
