@@ -254,6 +254,13 @@ class Model(FunctionalModel):
         a = self.config.audio_config
         mel = np.asarray(log_mel_spectrogram(
             np.asarray(audio, np.float32), n_mels=a.num_mel_bins)).T
+        return self.encode_features(mel)
+
+    def encode_features(self, mel: np.ndarray) -> Tuple[np.ndarray, int]:
+        """(n_mels, T) log-mel -> (n_tokens, output_dim); the mel-level
+        entry point (parity target: HF Qwen3OmniMoeAudioEncoder.forward
+        with feature_lens=[T])."""
+        a = self.config.audio_config
         n_frames = mel.shape[1]
         chunk = a.n_window * 2                              # 100
         c = (n_frames + chunk - 1) // chunk

@@ -156,3 +156,69 @@ class TestSanitize:
         assert set(again) == set(flat)
         for k in flat:
             assert again[k].shape == flat[k].shape
+
+
+class TestQwen3OmniAudioTowerParity:
+    """encode_features vs transformers Qwen3OmniMoeAudioEncoder.
+
+    Qwen3-ASR's chunked conv2d + windowed-block-attention tower is the
+    Qwen3-Omni audio encoder (same conv stem, per-chunk sinusoidal
+    positions, n_window_infer varlen attention, ln_post+proj MLP); the HF
+    implementation is the torch oracle for the whole mel->features path,
+    including the ragged final chunk.
+    """
+
+    @pytest.fixture(scope="class")
+    def pair(self):
+        torch = pytest.importorskip("torch")
+        from transformers.models.qwen3_omni_moe.configuration_qwen3_omni_moe \
+            import Qwen3OmniMoeAudioEncoderConfig
+        from transformers.models.qwen3_omni_moe.modeling_qwen3_omni_moe \
+            import Qwen3OmniMoeAudioEncoder
+
+        from mlx_audio_tpu.utils import unflatten
+
+        hf_cfg = Qwen3OmniMoeAudioEncoderConfig(
+            num_mel_bins=32, d_model=32, encoder_layers=2,
+            encoder_attention_heads=4, encoder_ffn_dim=64,
+            downsample_hidden_size=16, output_dim=40,
+            n_window=50, n_window_infer=200, conv_chunksize=500)
+        torch.manual_seed(0)
+        hf = Qwen3OmniMoeAudioEncoder(hf_cfg).eval()
+
+        cfg = ModelConfig.from_dict(dict(
+            model_type="qwen3_asr",
+            audio_config=dict(num_mel_bins=32, encoder_layers=2,
+                              encoder_attention_heads=4, encoder_ffn_dim=64,
+                              d_model=32, downsample_hidden_size=16,
+                              output_dim=40, n_window=50,
+                              n_window_infer=200),
+            text_config=dict(vocab_size=32, hidden_size=16,
+                             intermediate_size=32, num_hidden_layers=1,
+                             num_attention_heads=2, num_key_value_heads=2,
+                             head_dim=8, tie_word_embeddings=True)))
+        model = Model(cfg).init_and_bind()
+        flat = model.sanitize({
+            f"audio_tower.{k}": v.detach().numpy()
+            for k, v in hf.state_dict().items()
+            if "positional_embedding" not in k})
+        tower = unflatten(flat)["audio_tower"]
+        assert set(tower) == set(model.params["audio_tower"]), \
+            "state-dict mapping drifted"
+        model.params["audio_tower"] = tower
+        return hf, model
+
+    @pytest.mark.parametrize("n_frames", [100, 337])
+    def test_features_match(self, pair, n_frames):
+        torch = pytest.importorskip("torch")
+        hf, model = pair
+        rs = np.random.RandomState(n_frames)
+        mel = rs.randn(32, n_frames).astype(np.float32)
+        with torch.no_grad():
+            ref = hf(torch.from_numpy(mel),
+                     feature_lens=torch.tensor([n_frames])
+                     ).last_hidden_state.numpy()
+        got, n_tokens = model.encode_features(mel)
+        assert n_tokens == ref.shape[0]
+        np.testing.assert_allclose(np.asarray(got), ref,
+                                   atol=5e-4, rtol=5e-3)
