@@ -169,3 +169,66 @@ class TestSanitize:
         assert out["decoder.pre_conv.conv.weight"].shape == (3, 16, 32)
         assert out["decoder.upsample.0.0.conv.weight"].shape == (4, 32, 32)
         assert "encoder.anything.weight" not in out
+
+
+class TestPreTransformerCode2WavParity:
+    """Codec pre_transformer vs transformers Qwen3OmniMoeCode2WavTransformerModel.
+
+    Qwen3-TTS's tokenizer decoder trunk is the Qwen3-Omni Code2Wav
+    transformer (identical layer naming: self_attn.{q,k,v,o}_proj,
+    gate/up/down MLP, layer scales, final RMS norm, all-sliding-window
+    attention) — the HF torch module is the oracle for the sliding-window
+    mask + RoPE + layer-scale arithmetic.
+    """
+
+    def test_sliding_window_trunk_matches(self):
+        torch = pytest.importorskip("torch")
+        from transformers.models.qwen3_omni_moe.configuration_qwen3_omni_moe \
+            import Qwen3OmniMoeCode2WavConfig
+        from transformers.models.qwen3_omni_moe.modeling_qwen3_omni_moe \
+            import Qwen3OmniMoeCode2WavTransformerModel
+
+        from mlx_audio_tpu.tts.models.qwen3_tts.config import (
+            Qwen3TTSTokenizerDecoderConfig,
+        )
+        from mlx_audio_tpu.tts.models.qwen3_tts.speech_tokenizer import (
+            init_pre_transformer, pre_transformer_forward,
+        )
+        from mlx_audio_tpu.utils import unflatten
+
+        H, NH, HD, LAYERS, WIN = 32, 4, 8, 2, 8
+        hf_cfg = Qwen3OmniMoeCode2WavConfig(
+            hidden_size=H, num_attention_heads=NH, num_key_value_heads=NH,
+            intermediate_size=64, num_hidden_layers=LAYERS,
+            sliding_window=WIN, codebook_size=32, num_quantizers=4,
+            decoder_dim=16)
+        torch.manual_seed(0)
+        hf = Qwen3OmniMoeCode2WavTransformerModel(hf_cfg).eval()
+
+        cfg = Qwen3TTSTokenizerDecoderConfig(
+            latent_dim=H, hidden_size=H, num_attention_heads=NH,
+            num_key_value_heads=NH, head_dim=HD, intermediate_size=64,
+            num_hidden_layers=LAYERS, sliding_window=WIN)
+        import jax
+
+        params = init_pre_transformer(jax.random.PRNGKey(0), cfg)
+        flat = {k: jnp.asarray(v.detach().numpy())
+                for k, v in hf.state_dict().items()}
+        mapped = unflatten(flat)
+        params["layers"] = mapped["layers"]
+        params["norm"] = mapped["norm"]
+        eye = jnp.eye(H, dtype=jnp.float32)
+        for proj in ("input_proj", "output_proj"):
+            params[proj]["weight"] = eye
+            if "bias" in params[proj]:
+                params[proj]["bias"] = jnp.zeros((H,), jnp.float32)
+
+        rs = np.random.RandomState(0)
+        # T > sliding window so the mask actually truncates history
+        x = rs.randn(1, 3 * WIN + 5, H).astype(np.float32)
+        with torch.no_grad():
+            ref = hf(inputs_embeds=torch.from_numpy(x)
+                     ).last_hidden_state.numpy()
+        got, _ = pre_transformer_forward(params, cfg, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(got), ref,
+                                   atol=5e-4, rtol=5e-3)
