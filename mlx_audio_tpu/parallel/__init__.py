@@ -11,6 +11,7 @@ hand-written NCCL analogs.
 from .mesh import get_mesh, make_mesh
 from .sharding import (
     data_sharding,
+    expert_parallel_rules,
     replicate,
     shard_params,
     transformer_param_rules,
@@ -18,5 +19,5 @@ from .sharding import (
 
 __all__ = [
     "make_mesh", "get_mesh", "shard_params", "transformer_param_rules",
-    "data_sharding", "replicate",
+    "expert_parallel_rules", "data_sharding", "replicate",
 ]

@@ -57,6 +57,25 @@ def transformer_param_rules() -> Dict[str, Callable[[int], P]]:
     }
 
 
+def expert_parallel_rules() -> Dict[str, Callable[[int], P]]:
+    """TP rules + expert-parallel MoE layout (SURVEY §2.10 EP plan).
+
+    Expert-stacked weights ((E, out, in) switch_mlp tensors, e.g.
+    bailingmm/Ming-Omni and zonos2 MoE layers) shard the EXPERT axis over
+    "tp" instead of splitting inside each expert: each device holds E/tp
+    whole experts, routed gathers ride ICI. The dense/attention rules are
+    unchanged, so this is a drop-in `rules=` for shard_params.
+    """
+    def expert_w(ndim):  # (E, out, in): shard experts
+        return P(*(["tp"] + [None] * (ndim - 1)))
+
+    rules = {
+        r"\.switch_mlp\.(gate_proj|up_proj|down_proj)\.weight$": expert_w,
+    }
+    rules.update(transformer_param_rules())
+    return rules
+
+
 def spec_for_path(path: str, ndim: int,
                   rules: Optional[Dict] = None) -> P:
     rules = rules or transformer_param_rules()

@@ -70,3 +70,50 @@ def test_tp_sharded_decode_matches_unsharded(cfg):
         sharded = _run_decode(sh_params, cfg, sh_prompt, sh_caches)
 
     np.testing.assert_allclose(sharded, ref, atol=1e-4, rtol=1e-4)
+
+
+class TestMoeExpertParallel:
+    """Ming-Omni-class MoE under the mesh (SURVEY §2.10 EP row).
+
+    Both layouts must reproduce the unsharded forward bit-close:
+    * transformer_param_rules: expert-internal TP (F/tp per expert)
+    * expert_parallel_rules: whole experts sharded E/tp per device
+    """
+
+    @pytest.fixture(scope="class")
+    def moe(self):
+        from mlx_audio_tpu.tts.models.bailingmm.backbones import (
+            BailingMoeConfig, bailing_moe_forward, init_bailing_moe,
+        )
+
+        cfg = BailingMoeConfig(
+            hidden_size=32, num_hidden_layers=2, intermediate_size=64,
+            num_attention_heads=4, num_key_value_heads=2, vocab_size=64,
+            num_experts=8, num_experts_per_tok=2, moe_intermediate_size=16,
+            num_shared_experts=1, first_k_dense_replace=1,
+            score_function="softmax")
+        params = init_bailing_moe(jax.random.PRNGKey(0), cfg)
+        emb = jax.random.normal(jax.random.PRNGKey(2), (2, 6, 32))
+        ref, _ = bailing_moe_forward(params, cfg, emb)
+        return cfg, params, emb, np.asarray(ref), bailing_moe_forward
+
+    @pytest.mark.parametrize("mode", ["tp", "ep"])
+    def test_sharded_forward_matches(self, moe, mode):
+        from mlx_audio_tpu.parallel import (
+            expert_parallel_rules, transformer_param_rules,
+        )
+
+        cfg, params, emb, ref, fwd = moe
+        mesh = make_mesh((1, 8), ("dp", "tp"))
+        rules = (expert_parallel_rules() if mode == "ep"
+                 else transformer_param_rules())
+        sharded = shard_params(params, mesh, rules)
+        if mode == "ep":
+            gw = sharded["layers"]["1"]["mlp"]["switch_mlp"][
+                "gate_proj"]["weight"]
+            spec = gw.sharding.spec
+            assert spec[0] == "tp", spec  # expert axis actually sharded
+        with mesh:
+            got, _ = jax.jit(lambda p, e: fwd(p, cfg, e))(sharded, emb)
+            got = np.asarray(got)
+        np.testing.assert_allclose(got, ref, atol=2e-5, rtol=2e-5)
