@@ -95,3 +95,56 @@ class TestSanitize:
         mel = jnp.zeros((1, 100, 20))
         np.testing.assert_allclose(np.asarray(m(mel)), np.asarray(m2(mel)),
                                    atol=1e-6)
+
+
+class TestWhisperEncoderTorchParity:
+    """smart_turn's acoustic backbone vs transformers WhisperModel.encoder.
+
+    The endpoint classifier rides a Whisper-style encoder (pipecat
+    smart-turn-v2 checkpoints export exactly the HF naming); pin the conv
+    stem + pre-norm attention stack against the torch oracle.
+    """
+
+    def test_encoder_matches_hf(self):
+        import pytest as _pytest
+
+        torch = _pytest.importorskip("torch")
+        from transformers import WhisperConfig, WhisperModel
+
+        from mlx_audio_tpu.vad.models.smart_turn import (
+            EncoderConfig, Model, ModelConfig,
+        )
+        from mlx_audio_tpu.vad.models.smart_turn.smart_turn import (
+            encoder_forward,
+        )
+        from mlx_audio_tpu.utils import unflatten
+
+        hf_cfg = WhisperConfig(
+            d_model=32, encoder_layers=2, encoder_attention_heads=4,
+            decoder_layers=1, decoder_attention_heads=4,
+            decoder_ffn_dim=64, encoder_ffn_dim=64, num_mel_bins=16,
+            max_source_positions=24, max_target_positions=24,
+            dropout=0.0, attention_dropout=0.0, activation_dropout=0.0)
+        torch.manual_seed(0)
+        hf = WhisperModel(hf_cfg).get_encoder().eval()
+
+        cfg = ModelConfig(encoder_config=dict(
+            d_model=32, encoder_layers=2, encoder_attention_heads=4,
+            encoder_ffn_dim=64, num_mel_bins=16, max_source_positions=24))
+        model = Model(cfg).init_and_bind()
+        flat = model.sanitize({
+            f"encoder.{k}": jnp.asarray(v.detach().numpy())
+            for k, v in hf.state_dict().items()})
+        enc = unflatten({k: v for k, v in flat.items()
+                         if k.startswith("encoder.")})["encoder"]
+        assert set(enc) == set(model.params["encoder"])
+        model.params["encoder"] = enc
+
+        rs = np.random.RandomState(0)
+        mel = rs.randn(1, 16, 48).astype(np.float32)  # T = 2*msp
+        with torch.no_grad():
+            ref = hf(torch.from_numpy(mel)).last_hidden_state.numpy()
+        got = np.asarray(encoder_forward(
+            model.params["encoder"], model.config.encoder_config,
+            jnp.asarray(mel.transpose(0, 2, 1))))
+        np.testing.assert_allclose(got, ref, atol=2e-4, rtol=2e-3)
