@@ -20,15 +20,19 @@ def main():
     p.add_argument("--output", default="output.wav")
     args = p.parse_args()
 
+    from pathlib import Path
+
+    out = Path(args.output)
     results = generate_audio(
         text=args.text, model_path=args.model, voice=args.voice,
-        speed=args.speed, output_path=args.output, join_audio=True,
-        verbose=True)
+        speed=args.speed, output_path=str(out.parent or "."),
+        file_prefix=out.stem, audio_format=(out.suffix or ".wav")[1:],
+        join_audio=True, verbose=True)
     for r in results:
         print(f"segment {r.segment_idx}: {r.audio_duration} audio, "
               f"RTF {r.real_time_factor:.3f}, "
               f"{r.token_count} tokens")
-    print(f"wrote {args.output}")
+    print(f"wrote {out}")
 
 
 if __name__ == "__main__":
