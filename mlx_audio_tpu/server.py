@@ -802,6 +802,18 @@ class AudioServer:
         async def finalize_turn():
             nonlocal audio_buf, item_id, session
             item_id += 1
+            # OpenAI Realtime protocol: commit acknowledgement + item
+            # creation precede the transcription events (reference
+            # server.py:1678,1804)
+            await ws.send_json({
+                "type": "input_audio_buffer.committed",
+                "item_id": f"item_{item_id}",
+            })
+            await ws.send_json({
+                "type": "conversation.item.added",
+                "item": {"id": f"item_{item_id}", "type": "message",
+                         "role": "user"},
+            })
             if session is not None:
                 session.close()
                 final_text = session.text

@@ -487,6 +487,12 @@ class TestEndpoints:
                     "type": "input_audio_buffer.append",
                     "audio": base64.b64encode(pcm).decode()})
                 await ws.send_json({"type": "input_audio_buffer.commit"})
+                # protocol order: committed -> item.added -> completed
+                msg = json.loads((await ws.receive()).data)
+                assert msg["type"] == "input_audio_buffer.committed"
+                msg = json.loads((await ws.receive()).data)
+                assert msg["type"] == "conversation.item.added"
+                assert msg["item"]["role"] == "user"
                 msg = json.loads((await ws.receive()).data)
                 assert msg["type"].endswith("transcription.completed")
                 assert "heard" in msg["transcript"]
