@@ -280,6 +280,43 @@ class SNAC(FunctionalModel):
         x = apply_conv1d(p[str(idx + 1)], x, padding=3)
         return jnp.tanh(x)
 
+    def decode_stream(
+        self,
+        codes: List[Array],
+        prev_codes: Optional[List[Array]] = None,
+        context_frames: int = 8,
+    ) -> Tuple[Array, List[Array]]:
+        """Streaming decode with latent-frame context for smooth chunk
+        boundaries (reference snac.py:106-162). `codes` are the NEW frames
+        only; `context_frames` counts latent steps, so layer i contributes
+        its last context_frames // vq_strides[i] codes as context. Returns
+        (new_audio, context_codes_for_next_call)."""
+        c = self.config
+        codes = [jnp.asarray(x) for x in codes]
+        if prev_codes is None:
+            audio = self.decode(codes)
+            new_context = [
+                x[:, -context_frames:] if x.shape[1] > context_frames else x
+                for x in codes
+            ]
+            return audio, new_context
+
+        combined = []
+        for i, (prev, new) in enumerate(zip(prev_codes, codes)):
+            layer_ctx = max(1, context_frames // c.vq_strides[i])
+            if prev.shape[1] > layer_ctx:
+                prev = prev[:, -layer_ctx:]
+            combined.append(jnp.concatenate([jnp.asarray(prev), new], axis=1))
+        full_audio = self.decode(combined)
+        context_samples = context_frames * self.hop_length
+        if full_audio.shape[1] > context_samples:
+            full_audio = full_audio[:, context_samples:]
+        new_context = [
+            x[:, -context_frames:] if x.shape[1] > context_frames else x
+            for x in codes
+        ]
+        return full_audio, new_context
+
     def __call__(self, audio) -> Tuple[Array, List[Array]]:
         codes = self.encode(audio)
         return self.decode(codes), codes

@@ -87,3 +87,10 @@ def load_audio(path, sample_rate: int = 16000):
     from ..utils import load_audio as _load
 
     return _load(path, sample_rate=sample_rate)
+
+
+def resample_audio(audio, orig_sr: int, target_sr: int):
+    """Polyphase resample (reference stt/utils.py:78-81 re-export)."""
+    from ..utils import resample_audio as _resample
+
+    return _resample(audio, orig_sr, target_sr)

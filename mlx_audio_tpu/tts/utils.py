@@ -26,6 +26,9 @@ MODEL_REMAPPING = {
     "bark": "bark",
     "dia": "dia",
     "spark": "spark",
+    "llama": "llama",
+    "orpheus": "llama",
+    "svara": "llama",
     "outetts": "outetts",
     "soprano": "soprano",
     "vibevoice": "vibevoice",
