@@ -70,12 +70,17 @@ class ModelConfig(BaseModelArgs):
             self.text_config = TextConfig(**tc)
 
 
-def apply_delay_pattern(codes: np.ndarray, boc: int) -> np.ndarray:
+def apply_delay_pattern(codes: np.ndarray, boc: int,
+                        eoc: Optional[int] = None) -> np.ndarray:
     """Raw codes (T, N) -> delayed rows (T + N - 1, N): codebook k shifted
-    down k rows, BOC-filled above (reference generation.py:23-40)."""
+    down k rows, BOC-filled above and EOC-filled below the diagonal band
+    (reference generation.py:23-40)."""
     t, n = codes.shape
-    out = np.full((t + n - 1, n), boc, dtype=codes.dtype)
+    out = np.full((t + n - 1, n), boc if eoc is None else eoc,
+                  dtype=codes.dtype)
     for k in range(n):
+        if k:
+            out[:k, k] = boc
         out[k: k + t, k] = codes[:, k]
     return out
 
@@ -198,45 +203,50 @@ class Model(FunctionalModel):
     # -- compiled generation -------------------------------------------------
 
     def _make_chunk_stepper(self, chunk: int, temperature: float,
-                            top_k: int):
+                            top_k: int, top_p: float):
+        """SGLang-compatible delayed sampler steps (reference
+        generation.py:115-158): sample a row from the CURRENT hidden (the
+        first row conditions on the prompt's last hidden), force BOC on
+        codebook k for the first k rows, then after codebook 0 emits EOC
+        keep sampling exactly N-2 drain rows before finishing."""
         c = self.config
+        n = c.audio_num_codebooks
         from ....ops.sampling import top_k_top_p_filter
 
         def sample(k, lg):
             lg = lg.astype(jnp.float32)
-            greedy = jnp.argmax(lg, axis=-1).astype(jnp.int32)
-            f = top_k_top_p_filter(lg / jnp.maximum(temperature, 1e-6),
-                                   top_k=top_k)
-            drawn = jax.random.categorical(k, f, axis=-1).astype(jnp.int32)
-            return jnp.where(temperature <= 0.0, greedy, drawn)
+            if temperature <= 1e-5 or top_k == 1:
+                return jnp.argmax(lg, axis=-1).astype(jnp.int32)
+            f = top_k_top_p_filter(lg / temperature, top_k=top_k,
+                                   top_p=top_p if 0.0 < top_p < 1.0 else 1.0)
+            return jax.random.categorical(k, f, axis=-1).astype(jnp.int32)
 
         def chunk_step(params, carry):
             def step(cr, _):
-                (caches, embed, pos, row_idx, eoc_seen, drain_left, key) = cr
-                h, caches = self._backbone_step(params, embed, caches, pos)
-                logits = self._audio_logits(params, h[:, -1])
+                (caches, hidden, pos, row_idx, countdown, done, key) = cr
+                logits = self._audio_logits(params, hidden)
                 key, sub = jax.random.split(key)
-                keys = jax.random.split(sub, c.audio_num_codebooks)
-                row = jnp.stack(
-                    [sample(keys[i], logits[:, i])
-                     for i in range(c.audio_num_codebooks)], axis=-1)
-                # delay forcing: codebook k emits BOC for the first k rows;
-                # once codebook0 emits EOC, later codebooks drain with EOC
-                cb = jnp.arange(c.audio_num_codebooks)[None, :]
+                keys = jax.random.split(sub, n)
+                row = jnp.stack([sample(keys[i], logits[:, i])
+                                 for i in range(n)], axis=-1)
+                # delay phase: codebook k emits BOC for the first k rows
+                cb = jnp.arange(n)[None, :]
                 row = jnp.where(cb > row_idx, c.audio_boc_token_id, row)
-                eoc_now = eoc_seen | (row[:, 0] == c.audio_eoc_token_id)
-                row = jnp.where(eoc_seen[:, None] & (cb == 0),
-                                c.audio_eoc_token_id, row)
-                drain_left = jnp.where(
-                    eoc_now & ~eoc_seen,
-                    jnp.int32(c.audio_num_codebooks - 1), drain_left)
-                drain_left = jnp.where(eoc_seen,
-                                       jnp.maximum(drain_left - 1, 0),
-                                       drain_left)
-                finished = eoc_now & (drain_left == 0)
+                in_delay = row_idx < n
+                dec = (~in_delay) & (countdown >= 0)
+                countdown2 = jnp.where(dec, countdown - 1, countdown)
+                finished = dec & (countdown2 <= 0)
+                set_eoc = ((~in_delay) & (~dec)
+                           & (row[:, 0] == c.audio_eoc_token_id))
+                countdown3 = jnp.where(set_eoc, jnp.int32(n - 2), countdown2)
+                if n <= 2:
+                    finished = finished | set_eoc
+                done2 = done | finished
                 embed_next = self._embed_audio_row(params, row)[:, None]
-                return ((caches, embed_next, pos + 1, row_idx + 1, eoc_now,
-                         drain_left, key), (row, finished))
+                h, caches = self._backbone_step(params, embed_next, caches,
+                                                pos)
+                return ((caches, h[:, -1], pos + 1, row_idx + 1, countdown3,
+                         done2, key), (row, done2))
 
             carry2, (rows, fins) = jax.lax.scan(step, carry, None,
                                                 length=chunk)
@@ -244,71 +254,252 @@ class Model(FunctionalModel):
 
         return jax.jit(chunk_step)
 
-    def build_prompt_ids(self, text: str, ref_codes=None) -> List[int]:
-        """ChatML prompt (reference prompt.py): system/user/assistant turns;
-        audio placeholders expand to reference codes in embedding space."""
+    # -- prompt (reference prompt.py) -----------------------------------------
+
+    def _prompt_specials(self) -> Dict[str, int]:
         if self.tokenizer is None:
             raise ValueError("No tokenizer; pass text_ids directly.")
-        chat = (f"<|im_start|>user\n{text}<|im_end|>\n"
-                f"<|im_start|>assistant\n")
-        return self.tokenizer.encode(chat)
+        vocab = dict(self.tokenizer.get_added_vocab()) \
+            if hasattr(self.tokenizer, "get_added_vocab") else {}
+        required = ("<|tts|>", "<|ref_audio|>", "<|text|>", "<|audio|>")
+        missing = [t for t in required if t not in vocab]
+        if missing:
+            raise ValueError(
+                f"Tokenizer is missing Higgs v3 specials: {missing}")
+        return vocab
+
+    def build_prompt(self, text: str, references=()):
+        """<|tts|> [<|ref_text|> text] [<|ref_audio|> codes] <|text|> text
+        <|audio|> with AUDIO_PLACEHOLDER (-100) rows for reference codes
+        (reference prompt.py:48-70). Returns (token_ids, segments)."""
+        vocab = self._prompt_specials()
+
+        def enc(s):
+            return list(self.tokenizer.encode(s, add_special_tokens=False))
+
+        ids: List[int] = [int(vocab["<|tts|>"])]
+        segments = []
+        for ref in references:
+            if ref.get("text") and "<|ref_text|>" in vocab:
+                ids.append(int(vocab["<|ref_text|>"]))
+                ids.extend(enc(ref["text"]))
+            ids.append(int(vocab["<|ref_audio|>"]))
+            start = len(ids)
+            codes = np.asarray(ref["codes"], np.int32)
+            ids.extend([-100] * codes.shape[0])
+            segments.append((start, codes))
+        ids.append(int(vocab["<|text|>"]))
+        ids.extend(enc(text))
+        ids.append(int(vocab["<|audio|>"]))
+        return ids, segments
+
+    def _prompt_embeds(self, token_ids: List[int], segments) -> Array:
+        """Splice reference-code embeddings over the placeholder rows
+        (reference model.py:165-189). Returns (1, L, D)."""
+        p = self.params
+        pieces = []
+        cursor = 0
+        for start, codes in segments:
+            if start > cursor:
+                pieces.append(apply_embedding(
+                    p["backbone"]["embed_tokens"],
+                    jnp.asarray(token_ids[cursor:start], jnp.int32)))
+            pieces.append(self._embed_audio_row(p, jnp.asarray(codes)))
+            cursor = start + codes.shape[0]
+        tail = token_ids[cursor:]
+        if any(t == -100 for t in tail):
+            raise ValueError("Internal prompt error: unresolved placeholder")
+        if tail:
+            pieces.append(apply_embedding(
+                p["backbone"]["embed_tokens"],
+                jnp.asarray(tail, jnp.int32)))
+        return jnp.concatenate(pieces, axis=0)[None]
+
+    # -- reference audio (reference model.py:191-339) -------------------------
+
+    def _normalize_audio(self, audio) -> np.ndarray:
+        if isinstance(audio, (str, )) or hasattr(audio, "__fspath__"):
+            from ....utils import load_audio
+            audio = load_audio(str(audio), sample_rate=self.sample_rate)
+        arr = np.asarray(audio, np.float32)
+        if arr.ndim == 2:
+            arr = arr.mean(axis=0) if arr.shape[0] <= 2 else arr.mean(axis=-1)
+        return arr.reshape(-1)
+
+    def encode_reference_audio(self, audio) -> np.ndarray:
+        """Reference audio -> delayed Higgs v3 codes (T+N-1, N); reusable
+        via generate(..., ref_audio_codes=...) (reference model.py:210-228)."""
+        if self.codec is None:
+            raise RuntimeError("Codec missing; load via tts.utils.load().")
+        arr = self._normalize_audio(audio)
+        if arr.shape[0] < self.sample_rate:
+            arr = np.pad(arr, (0, self.sample_rate - arr.shape[0]))
+        codes = np.asarray(self.codec.encode(arr)).astype(np.int32)  # (T, N)
+        return apply_delay_pattern(codes, self.config.audio_boc_token_id,
+                                   self.config.audio_eoc_token_id)
+
+    def _normalize_reference_codes(self, codes) -> np.ndarray:
+        arr = np.asarray(codes, np.int32)
+        n = self.config.audio_num_codebooks
+        if arr.ndim != 2 or arr.shape[1] != n:
+            raise ValueError(
+                f"reference audio codes must be [T, {n}], got {arr.shape}")
+        return arr
+
+    def _normalize_references(self, ref_audio=None, ref_text=None,
+                              references=None, ref_audios=None,
+                              ref_texts=None, ref_audio_codes=None,
+                              ref_audio_codes_list=None) -> List[dict]:
+        """Collapse the reference's many aliases into [{codes, text}]
+        (reference model.py:249-339)."""
+        def as_list(v):
+            if v is None:
+                return []
+            return list(v) if isinstance(v, (list, tuple)) else [v]
+
+        audios = as_list(ref_audios if ref_audios is not None else ref_audio)
+        if ref_audio_codes_list is not None:
+            code_values = as_list(ref_audio_codes_list)
+        elif ref_audio_codes is not None:
+            code_values = [ref_audio_codes]
+        else:
+            code_values = []
+        if audios and code_values:
+            raise ValueError(
+                "Use either ref_audio or ref_audio_codes, not both")
+        texts = as_list(ref_texts if ref_texts is not None else ref_text)
+        items = ([{"codes": self._normalize_reference_codes(c)}
+                  for c in code_values]
+                 or [{"codes": self.encode_reference_audio(a)}
+                     for a in audios])
+        if texts:
+            if len(texts) != len(items):
+                raise ValueError("ref_text must have the same length as "
+                                 "ref_audio/ref_audio_codes")
+            for item, t in zip(items, texts):
+                item["text"] = t
+        for ref in as_list(references):
+            if isinstance(ref, dict):
+                if "codes" in ref and ref["codes"] is not None:
+                    codes = self._normalize_reference_codes(ref["codes"])
+                else:
+                    src = next((ref[k] for k in
+                                ("audio", "audio_path", "path", "ref_audio")
+                                if ref.get(k) is not None), None)
+                    if src is None:
+                        raise ValueError(
+                            "reference dict needs 'codes' or 'audio'")
+                    codes = self.encode_reference_audio(src)
+                items.append({"codes": codes, "text": ref.get("text")})
+            else:
+                items.append({"codes": self.encode_reference_audio(ref)})
+        return items
+
+    def _apply_fades(self, audio: np.ndarray, fade_in_ms: float,
+                     fade_out_ms: float) -> np.ndarray:
+        """Linear fade-in/out (reference model.py:352-367)."""
+        audio = np.asarray(audio, np.float32).copy()
+        n_in = int(fade_in_ms * self.sample_rate / 1000.0)
+        n_out = int(fade_out_ms * self.sample_rate / 1000.0)
+        if n_in > 0 and audio.size > n_in:
+            audio[:n_in] *= np.linspace(0.0, 1.0, n_in, dtype=np.float32)
+        if n_out > 0 and audio.size > n_out:
+            audio[-n_out:] *= np.linspace(1.0, 0.0, n_out, dtype=np.float32)
+        return audio
 
     def generate(
         self,
         text: Optional[str] = None,
+        voice: Optional[str] = None,
         *,
         text_ids: Optional[np.ndarray] = None,
-        temperature: float = 0.7,
-        top_k: int = 50,
-        max_tokens: int = 2048,
-        seed: int = 0,
+        ref_audio=None,
+        ref_text=None,
+        references=None,
+        ref_audios=None,
+        ref_texts=None,
+        ref_audio_codes=None,
+        ref_audio_codes_list=None,
+        max_new_tokens: Optional[int] = None,
+        max_new_frames: Optional[int] = None,
+        max_tokens: Optional[int] = None,
+        temperature: float = 1.0,
+        top_p: Optional[float] = None,
+        top_k: Optional[int] = None,
+        seed: Optional[int] = None,
+        fade_in_ms: float = 30.0,
+        fade_out_ms: float = 15.0,
+        stream: bool = False,
         **kwargs,
     ):
+        """Reference model.py:737-851; `voice` is accepted-and-ignored there
+        too (no preset voices — conditioning comes from references)."""
+        del voice, kwargs
         t0 = time.time()
+        limit = int(max_new_tokens if max_new_tokens is not None
+                    else max_new_frames if max_new_frames is not None
+                    else max_tokens if max_tokens is not None else 2048)
+
         if text_ids is None:
-            text_ids = np.asarray(self.build_prompt_ids(text))
-        text_ids = np.asarray(text_ids).reshape(1, -1)
-        plen = text_ids.shape[1]
+            refs = self._normalize_references(
+                ref_audio=ref_audio, ref_text=ref_text,
+                references=references, ref_audios=ref_audios,
+                ref_texts=ref_texts, ref_audio_codes=ref_audio_codes,
+                ref_audio_codes_list=ref_audio_codes_list)
+            token_ids, segments = self.build_prompt(text, refs)
+            embeds = self._prompt_embeds(token_ids, segments)
+        else:
+            text_ids = np.asarray(text_ids).reshape(1, -1)
+            embeds = apply_embedding(self.params["backbone"]["embed_tokens"],
+                                     jnp.asarray(text_ids, jnp.int32))
+        plen = embeds.shape[1]
         pb = 1 << max(4, (plen - 1).bit_length())
-        ids = np.zeros((1, pb), np.int64)
-        ids[0, :plen] = text_ids[0]
+        embeds = jnp.pad(embeds, ((0, 0), (0, pb - plen), (0, 0)))
 
         prefill = self._jit_cache.get(("prefill", pb))
         if prefill is None:
             prefill = jax.jit(self._prefill)
             self._jit_cache[("prefill", pb)] = prefill
-        carry = prefill(self.params, jnp.asarray(ids), jnp.int32(plen),
-                        jax.random.PRNGKey(seed))
+        carry = prefill(self.params, embeds, jnp.int32(plen),
+                        jax.random.PRNGKey(0 if seed is None else int(seed)))
 
-        st = self._jit_cache.get(("chunk", CHUNK_ROWS, temperature, top_k))
+        tk = 0 if top_k is None else int(top_k)
+        tp = 0.0 if top_p is None else float(top_p)
+        skey = ("chunk", CHUNK_ROWS, float(temperature), tk, tp)
+        st = self._jit_cache.get(skey)
         if st is None:
-            st = self._make_chunk_stepper(CHUNK_ROWS, temperature, top_k)
-            self._jit_cache[("chunk", CHUNK_ROWS, temperature, top_k)] = st
+            st = self._make_chunk_stepper(CHUNK_ROWS, float(temperature),
+                                          tk, tp)
+            self._jit_cache[skey] = st
 
         rows_out = []
         done = False
         n = 0
-        while not done and n < max_tokens:
+        while not done and n < limit:
             carry, rows, fins = st(self.params, carry)
             r = np.asarray(rows)[:, 0]
             f = np.asarray(fins)[:, 0]
             k = int(np.argmax(f)) + 1 if f.any() else len(r)
+            k = min(k, limit - n)
             rows_out.append(r[:k])
             n += k
             done = bool(f.any())
+        nb = self.config.audio_num_codebooks
         delayed = (np.concatenate(rows_out, axis=0)
-                   if rows_out else np.zeros((0, 8), np.int32))
-        # strip EOC rows then undo the delay
-        keep = delayed[:, 0] != self.config.audio_eoc_token_id
-        codes = reverse_delay_pattern(delayed[keep])
+                   if rows_out else np.zeros((0, nb), np.int32))
+        # undo the delay directly: the triangular slices drop the EOC row
+        # and the BOC delay ramp (reference _decode_audio model.py:340-351)
+        codes = reverse_delay_pattern(delayed) \
+            if delayed.shape[0] >= nb else np.zeros((0, nb), np.int32)
         codes = np.clip(codes, 0, self.config.audio_codebook_size - 3)
 
         if self.codec is not None and len(codes):
-            audio = np.asarray(self.codec.decode(
-                jnp.asarray(codes.T[None])))
-            audio = audio.reshape(-1)
+            # codec contract: (T, n_books) codes -> waveform (reference
+            # _decode_audio model.py:340-351 passes raw [T, N] too)
+            audio = np.asarray(self.codec.decode(codes)).reshape(-1)
         else:
             audio = np.zeros((len(codes) * 1920,), np.float32)
+        audio = self._apply_fades(audio, fade_in_ms, fade_out_ms)
         seg = time.time() - t0
         dur = len(audio) / self.sample_rate
         yield GenerationResult(
@@ -316,30 +507,30 @@ class Model(FunctionalModel):
             segment_idx=0, token_count=len(delayed),
             audio_duration=format_duration(dur),
             real_time_factor=round(seg / dur, 3) if dur else 0.0,
-            prompt={"tokens": plen, "tokens-per-sec":
+            prompt={"tokens": plen, "completion_tokens": len(delayed),
+                    "tokens-per-sec":
                     round(plen / seg, 2) if seg else 0, "codes": codes},
             audio_samples={"samples": len(audio), "samples-per-sec":
                            round(len(audio) / seg, 2) if seg else 0},
             processing_time_seconds=seg,
             peak_memory_usage=peak_memory_gb(),
+            is_streaming_chunk=bool(stream),
             is_final_chunk=True,
         )
 
-    def _prefill(self, params, ids, plen, key):
+    def _prefill(self, params, embeds, plen, key):
+        """Prompt embeds (B, pb, D) -> decode carry whose hidden is the
+        prompt's LAST hidden state — the first audio row is sampled from it
+        directly (reference model.py:786-792), no extra step in between."""
         t = self.tc
-        b = ids.shape[0]
+        b = embeds.shape[0]
         caches = [KVCache.init(b, MAX_CACHE_LEN, t.num_key_value_heads,
                                t.head_dim, jnp.float32)
                   for _ in range(t.num_hidden_layers)]
-        embeds = apply_embedding(params["backbone"]["embed_tokens"], ids)
         pad_mask = jnp.where(jnp.arange(MAX_CACHE_LEN) < plen, 0.0,
                              -jnp.inf)[None, None, None, :]
         h, caches = self._backbone_step(params, embeds, caches, 0,
                                         mask=pad_mask)
         last_h = h[jnp.arange(b), plen - 1]
-        # seed the loop with a BOC row embedding
-        boc_row = jnp.full((b, self.config.audio_num_codebooks),
-                           self.config.audio_boc_token_id, jnp.int32)
-        embed0 = self._embed_audio_row(params, boc_row)[:, None]
-        return (caches, embed0, plen, jnp.int32(0),
-                jnp.zeros((b,), bool), jnp.zeros((b,), jnp.int32), key)
+        return (caches, last_h, plen, jnp.int32(0),
+                jnp.full((b,), -1, jnp.int32), jnp.zeros((b,), bool), key)
