@@ -69,6 +69,10 @@ class ModelConfig(BaseModelArgs):
     depth_decoder_config: Optional[dict] = None
     codec_config: Optional[dict] = None
     model_path: str = ""
+    # generation-policy flags (reference sesame.py:459-466)
+    voice_match: bool = True
+    use_default_voice_prompt: bool = True
+    speaker_prefix_space: bool = False
 
     @classmethod
     def from_dict(cls, config: dict):
@@ -94,7 +98,12 @@ class ModelConfig(BaseModelArgs):
                                  if config.get(k) is not None},
                 depth_decoder_config=config.get("depth_decoder_config"),
                 codec_config=config.get("codec_config"),
-                model_path=config.get("model_path", ""))
+                model_path=config.get("model_path", ""),
+                voice_match=config.get("voice_match", True),
+                use_default_voice_prompt=config.get(
+                    "use_default_voice_prompt", True),
+                speaker_prefix_space=config.get("speaker_prefix_space",
+                                                False))
         return super().from_dict(config)
 
     def llama_configs(self):
@@ -349,7 +358,10 @@ class Model(FunctionalModel):
     def _tokenize_text_segment(self, text: str, speaker: int):
         if self.tokenizer is None:
             raise ValueError("No tokenizer; pass text_ids instead.")
-        ids = self.tokenizer.encode(f"[{speaker}]{text}")
+        if self.config.speaker_prefix_space:
+            ids = self.tokenizer.encode(f"[{speaker}] {text.lstrip()}")
+        else:
+            ids = self.tokenizer.encode(f"[{speaker}]{text}")
         return np.asarray(ids)
 
     def build_prompt(self, text_ids: np.ndarray,
@@ -380,129 +392,317 @@ class Model(FunctionalModel):
 
     # -- generation ----------------------------------------------------------
 
-    def generate(
-        self,
-        text: Optional[str] = None,
-        *,
-        text_ids: Optional[np.ndarray] = None,
-        speaker: int = 0,
-        context: Optional[List[Segment]] = None,
-        context_frames: Optional[np.ndarray] = None,
-        temperature: float = 0.9,
-        top_k: int = 50,
-        max_audio_length_ms: float = 30000,
-        seed: int = 0,
-        mimi=None,
-        **kwargs,
-    ):
-        """Yield one GenerationResult with the synthesized audio.
+    def _audio_rows(self, frames: np.ndarray, add_eos: bool = True):
+        """Code frames (T, 32) -> prompt rows/mask (T[+1], 33) in the audio
+        slots; optional all-zero EOS frame (reference _tokenize_audio
+        :527-561)."""
+        c = self.config
+        frames = np.asarray(frames, np.int32)
+        if add_eos:
+            frames = np.concatenate(
+                [frames, np.zeros((1, frames.shape[1]), np.int32)], axis=0)
+        rows = np.zeros((frames.shape[0], c.audio_num_codebooks + 1),
+                        np.int32)
+        rows[:, :c.audio_num_codebooks] = frames
+        mask = np.zeros_like(rows, bool)
+        mask[:, :c.audio_num_codebooks] = True
+        return rows, mask
 
-        `mimi`: a bound codec/models/mimi Mimi model for audio decode; when
-        absent, raw code frames are returned in the result's prompt dict.
-        """
-        t0 = time.time()
-        if text_ids is None:
-            text_ids = self._tokenize_text_segment(text, speaker)
-        if context and context_frames is None and self._mimi is not None:
-            enc = [np.asarray(self._mimi.encode(s.audio)[0].T)
-                   for s in context if s.audio is not None]
-            if enc:
-                context_frames = np.concatenate(enc, axis=0)
-        tokens, mask = self.build_prompt(text_ids, context_frames)
+    def _text_rows(self, text: str, speaker: int):
+        c = self.config
+        ids = np.asarray(self._tokenize_text_segment(text, speaker),
+                         np.int32).reshape(-1)
+        rows = np.zeros((len(ids), c.audio_num_codebooks + 1), np.int32)
+        rows[:, -1] = ids
+        mask = np.zeros_like(rows, bool)
+        mask[:, -1] = True
+        return rows, mask
+
+    def _segment_rows(self, segment: Segment, add_eos: bool = True):
+        """[segment text rows, segment audio rows(+eos)] (reference
+        _tokenize_segment :563-579)."""
+        tr, tm = self._text_rows(segment.text, segment.speaker)
+        if segment.audio is None:
+            return tr, tm
+        if self._mimi is None:
+            raise RuntimeError(
+                "voice-clone context requires the Mimi codec "
+                "(load a checkpoint that embeds it)")
+        frames = np.asarray(self._mimi.encode(segment.audio)[0].T)
+        ar, am = self._audio_rows(frames, add_eos=add_eos)
+        return (np.concatenate([tr, ar], axis=0),
+                np.concatenate([tm, am], axis=0))
+
+    def default_speaker_prompt(self, voice: str) -> List[Segment]:
+        """Offline voice presets: prompts/{voice}.wav (+.txt transcript)
+        inside the model directory (the reference pulls the same files from
+        the sesame/csm-1b hub repo, :614-651)."""
+        from pathlib import Path
+
+        base = Path(self.config.model_path or ".") / "prompts"
+        wav = base / f"{voice}.wav"
+        txt = base / f"{voice}.txt"
+        if not wav.exists():
+            raise ValueError(
+                f"voice preset '{voice}' not found: place {wav} (and "
+                f"{txt.name}) in the model directory, or pass "
+                "ref_audio/ref_text")
+        if not txt.exists():
+            raise ValueError(
+                f"voice preset '{voice}' is missing its transcript {txt}")
+        from ....utils import load_audio
+
+        audio = load_audio(str(wav), sample_rate=self.sample_rate)
+        return [Segment(speaker=0, text=txt.read_text().strip(),
+                        audio=np.asarray(audio))]
+
+    def _frame_stream(self, tokens: np.ndarray, mask: np.ndarray,
+                      temperature: float, top_k: int, max_frames: int,
+                      seed: int):
+        """Run the compiled decode; yields np code-frame batches (k, 32)."""
         plen = tokens.shape[1]
         pb = 1 << max(4, (plen - 1).bit_length())
         tokens = np.pad(tokens, ((0, 0), (0, pb - plen), (0, 0)))
         mask = np.pad(mask, ((0, 0), (0, pb - plen), (0, 0)))
 
-        prefill = self._jit_cache.get(("prefill", pb))
+        pkey = ("prefill", pb, temperature, top_k)
+        prefill = self._jit_cache.get(pkey)
         if prefill is None:
-            prefill = jax.jit(self._prefill)
-            self._jit_cache[("prefill", pb)] = prefill
+            prefill = self._prefill_fn(temperature, top_k)
+            self._jit_cache[pkey] = prefill
         carry, first_frame, first_fin = prefill(
             self.params, jnp.asarray(tokens), jnp.asarray(mask),
-            jnp.int32(plen), jax.random.PRNGKey(seed),
-            jnp.float32(temperature), jnp.int32(top_k))
+            jnp.int32(plen), jax.random.PRNGKey(seed))
 
-        max_frames = int(max_audio_length_ms / 80)
-        stepper = self._jit_cache.get(("chunk", CHUNK_FRAMES, temperature,
-                                       top_k))
+        skey = ("chunk", CHUNK_FRAMES, temperature, top_k)
+        stepper = self._jit_cache.get(skey)
         if stepper is None:
             stepper = self._make_chunk_stepper(CHUNK_FRAMES, temperature,
                                                top_k)
-            self._jit_cache[("chunk", CHUNK_FRAMES, temperature, top_k)] = \
-                stepper
-        frames_out = []
+            self._jit_cache[skey] = stepper
         done = bool(np.asarray(first_fin).any())
         n = 0
         if not done:
-            frames_out.append(np.asarray(first_frame))
+            yield np.asarray(first_frame)
             n = 1
         while not done and n < max_frames:
             carry, frames, fins = stepper(self.params, carry)
             fr = np.asarray(frames)[:, 0]
             fi = np.asarray(fins)[:, 0]
             k = int(np.argmax(fi)) if fi.any() else len(fr)
-            frames_out.append(fr[:k])
+            k = min(k, max_frames - n)
+            if k > 0:
+                yield fr[:k]
             n += k
             done = bool(fi.any())
-        codes = (np.concatenate(frames_out, axis=0)
-                 if frames_out else np.zeros((0, 32), np.int32))
 
+    def generate(
+        self,
+        text=None,
+        voice: Optional[str] = None,
+        *,
+        text_ids: Optional[np.ndarray] = None,
+        speaker: int = 0,
+        context: Optional[List[Segment]] = None,
+        context_frames: Optional[np.ndarray] = None,
+        split_pattern: Optional[str] = r"\n+",
+        temperature: float = 0.9,
+        top_k: int = 50,
+        max_audio_length_ms: float = 90_000,
+        ref_audio=None,
+        ref_text: Optional[str] = None,
+        stream: bool = False,
+        streaming_interval: float = 0.5,
+        voice_match: Optional[bool] = None,
+        seed: int = 0,
+        mimi=None,
+        **kwargs,
+    ):
+        """Reference generate :730-865: ref_audio/ref_text become the
+        context segment; `voice` loads a local prompts/{voice} preset;
+        voice_match merges context+prompt text over the context audio
+        (no EOS frame) for seamless cloning; split_pattern yields one
+        result stream per text segment; stream=True yields audio chunks
+        every streaming_interval seconds through the causal Mimi streaming
+        decoder (bit-exact with the offline decode).
+
+        `mimi`: a bound codec/models/mimi Mimi for audio decode; when
+        absent, raw code frames are returned in the result's prompt dict.
+        """
+        if voice_match is None:
+            voice_match = self.config.voice_match
         mimi = mimi or self._mimi
+        max_frames = int(max_audio_length_ms / 80)
+        interval_frames = max(1, int(streaming_interval * 12.5))
+
+        # ---- legacy direct-ids path (also used by tests/benches) ----
+        if text_ids is not None:
+            if context and context_frames is None and self._mimi is not None:
+                enc = [np.asarray(self._mimi.encode(s.audio)[0].T)
+                       for s in context if s.audio is not None]
+                if enc:
+                    context_frames = np.concatenate(enc, axis=0)
+            tokens, mask = self.build_prompt(text_ids, context_frames)
+            yield from self._run_segment(tokens, mask, 0, temperature,
+                                         top_k, max_frames, seed, stream,
+                                         interval_frames, mimi)
+            return
+
+        # ---- reference flow ----
+        if ref_audio is not None and not isinstance(ref_audio, np.ndarray):
+            from ....utils import load_audio
+            ref_audio = np.asarray(load_audio(
+                ref_audio, sample_rate=self.sample_rate))
+        context = list(context or [])
+        if not context and ref_audio is not None and ref_text is not None:
+            context = [Segment(speaker=speaker, text=ref_text,
+                               audio=ref_audio)]
+        elif (not context and ref_audio is None
+              and self.config.use_default_voice_prompt and voice is not None):
+            context = self.default_speaker_prompt(voice)
+
+        if isinstance(text, str):
+            import re
+            prompts = ([p for p in re.split(split_pattern, text.strip())
+                        if p.strip()] if split_pattern else [text])
+        else:
+            prompts = list(text)
+
+        for seg_idx, prompt in enumerate(prompts):
+            current = list(context)
+            if voice_match and current:
+                merged = (current[0].text + " " + prompt).strip()
+                current = [Segment(speaker=speaker, text=merged,
+                                   audio=current[0].audio)]
+            rows, masks = [], []
+            for s in current:
+                r, m = self._segment_rows(s, add_eos=not voice_match)
+                rows.append(r)
+                masks.append(m)
+            if not voice_match or not current:
+                r, m = self._text_rows(prompt, speaker)
+                rows.append(r)
+                masks.append(m)
+            tokens = np.concatenate(rows, axis=0)[None]
+            mask = np.concatenate(masks, axis=0)[None]
+            if tokens.shape[1] >= MAX_CACHE_LEN - max_frames:
+                raise ValueError(
+                    "Inputs too long, must be below "
+                    f"{MAX_CACHE_LEN - max_frames} frames")
+            yield from self._run_segment(tokens, mask, seg_idx, temperature,
+                                         top_k, max_frames, seed + seg_idx,
+                                         stream, interval_frames, mimi)
+
+    def _run_segment(self, tokens, mask, seg_idx, temperature, top_k,
+                     max_frames, seed, stream, interval_frames, mimi):
+        t0 = time.time()
+        plen = tokens.shape[1]
+        pending: List[np.ndarray] = []
+        all_codes: List[np.ndarray] = []
+        mimi_state = None
+        n_pending = 0
+
+        def result(audio, codes_n, final):
+            nonlocal t0
+            seg_time = time.time() - t0
+            dur = len(audio) / self.sample_rate
+            r = GenerationResult(
+                audio=audio, samples=len(audio),
+                sample_rate=self.sample_rate, segment_idx=seg_idx,
+                token_count=codes_n,
+                audio_duration=format_duration(dur),
+                real_time_factor=round(seg_time / dur, 3) if dur else 0.0,
+                prompt={"tokens": int(plen), "tokens-per-sec":
+                        round(plen / seg_time, 2) if seg_time else 0,
+                        "codes": np.concatenate(all_codes, axis=0)
+                        if all_codes else np.zeros(
+                            (0, self.config.audio_num_codebooks), np.int32)},
+                audio_samples={"samples": len(audio), "samples-per-sec":
+                               round(len(audio) / seg_time, 2)
+                               if seg_time else 0},
+                processing_time_seconds=seg_time,
+                peak_memory_usage=peak_memory_gb(),
+                is_streaming_chunk=stream and not final,
+                is_final_chunk=final,
+            )
+            t0 = time.time()
+            return r
+
+        for batch in self._frame_stream(tokens, mask, temperature, top_k,
+                                        max_frames, seed):
+            all_codes.append(batch)
+            pending.append(batch)
+            n_pending += len(batch)
+            if stream and mimi is not None and n_pending >= interval_frames:
+                frames = np.concatenate(pending, axis=0)
+                if mimi_state is None:
+                    # state capacity counts post-upsample transformer frames
+                    mimi_state = mimi.init_decode_stream_state(
+                        1, (max_frames + 8) * mimi.downsample_stride)
+                mimi_state, audio = mimi.decode_step(
+                    mimi_state, jnp.asarray(frames.T[None]))
+                yield result(np.asarray(audio)[0, 0], n_pending, final=False)
+                pending, n_pending = [], 0
+
+        if stream and mimi is not None:
+            if pending:
+                frames = np.concatenate(pending, axis=0)
+                if mimi_state is None:
+                    mimi_state = mimi.init_decode_stream_state(
+                        1, (max_frames + 8) * mimi.downsample_stride)
+                mimi_state, audio = mimi.decode_step(
+                    mimi_state, jnp.asarray(frames.T[None]))
+                yield result(np.asarray(audio)[0, 0], n_pending, final=True)
+            return
+
+        codes = (np.concatenate(all_codes, axis=0) if all_codes
+                 else np.zeros((0, self.config.audio_num_codebooks),
+                               np.int32))
         if mimi is not None and len(codes):
-            audio = np.asarray(mimi.decode(
-                jnp.asarray(codes.T[None])))[0, 0]
+            audio = np.asarray(mimi.decode(jnp.asarray(codes.T[None])))[0, 0]
         else:
             audio = np.zeros((len(codes) * 1920,), np.float32)
-        seg_time = time.time() - t0
-        dur = len(audio) / self.sample_rate
-        yield GenerationResult(
-            audio=audio, samples=len(audio), sample_rate=self.sample_rate,
-            segment_idx=0, token_count=len(codes),
-            audio_duration=format_duration(dur),
-            real_time_factor=round(seg_time / dur, 3) if dur else 0.0,
-            prompt={"tokens": int(plen), "tokens-per-sec":
-                    round(plen / seg_time, 2) if seg_time else 0,
-                    "codes": codes},
-            audio_samples={"samples": len(audio), "samples-per-sec":
-                           round(len(audio) / seg_time, 2) if seg_time else 0},
-            processing_time_seconds=seg_time,
-            peak_memory_usage=peak_memory_gb(),
-            is_final_chunk=True,
-        )
+        yield result(audio, len(codes), final=True)
 
-    def _prefill(self, params, tokens, mask, plen, key, temperature, top_k):
-        b = tokens.shape[0]
-        caches = [KVCache.init(b, MAX_CACHE_LEN,
-                               self.bb_cfg.num_key_value_heads,
-                               self.bb_cfg.resolved_head_dim, jnp.float32)
-                  for _ in range(self.bb_cfg.num_hidden_layers)]
-        embeds = self._embed_frame_tokens(params, tokens, mask)
-        pb = tokens.shape[1]
-        pad_mask = jnp.broadcast_to(
-            jnp.where(jnp.arange(MAX_CACHE_LEN) < plen, 0.0, -jnp.inf)[None],
-            (b, MAX_CACHE_LEN))
-        h, caches = llama_forward({"model": params["backbone"]}, self.bb_cfg,
-                                  embeds, caches=caches, offset=0,
-                                  mask=pad_mask)
-        last_h = h[jnp.arange(b), plen - 1]
-        logits0 = apply_linear(params["codebook0_head"], last_h)
+    def _prefill_fn(self, temperature: float, top_k: int):
+        """Jitted prefill closed over static sampling config (the previous
+        revision hardcoded top_k=50 regardless of the caller's value)."""
+        c = self.config
         from ....ops.sampling import top_k_top_p_filter
 
-        greedy = jnp.argmax(logits0, axis=-1).astype(jnp.int32)
-        lg = top_k_top_p_filter(
-            logits0.astype(jnp.float32) / jnp.maximum(temperature, 1e-6),
-            top_k=50)
-        key, k0 = jax.random.split(key)
-        drawn = jax.random.categorical(k0, lg, axis=-1).astype(jnp.int32)
-        c0 = jnp.where(temperature <= 0.0, greedy, drawn)
-        frame, key = self._decode_frame(params, last_h, c0, key, temperature,
-                                        50)
-        toks = jnp.concatenate([frame, jnp.zeros((b, 1), jnp.int32)],
-                               axis=-1)[:, None]
-        m = jnp.concatenate(
-            [jnp.ones((b, 1, self.config.audio_num_codebooks), bool),
-             jnp.zeros((b, 1, 1), bool)], axis=-1)
-        embed_next = self._embed_frame_tokens(params, toks, m)
-        finished = frame[:, 0] == self.config.codebook_eos_token_id
-        return (caches, embed_next, plen, finished, key), frame, finished
+        def prefill(params, tokens, mask, plen, key):
+            b = tokens.shape[0]
+            caches = [KVCache.init(b, MAX_CACHE_LEN,
+                                   self.bb_cfg.num_key_value_heads,
+                                   self.bb_cfg.resolved_head_dim,
+                                   jnp.float32)
+                      for _ in range(self.bb_cfg.num_hidden_layers)]
+            embeds = self._embed_frame_tokens(params, tokens, mask)
+            pad_mask = jnp.broadcast_to(
+                jnp.where(jnp.arange(MAX_CACHE_LEN) < plen,
+                          0.0, -jnp.inf)[None],
+                (b, MAX_CACHE_LEN))
+            h, caches = llama_forward(
+                {"model": params["backbone"]}, self.bb_cfg, embeds,
+                caches=caches, offset=0, mask=pad_mask)
+            last_h = h[jnp.arange(b), plen - 1]
+            logits0 = apply_linear(params["codebook0_head"], last_h)
+            greedy = jnp.argmax(logits0, axis=-1).astype(jnp.int32)
+            lg = top_k_top_p_filter(
+                logits0.astype(jnp.float32) / max(temperature, 1e-6),
+                top_k=top_k)
+            key, k0 = jax.random.split(key)
+            drawn = jax.random.categorical(k0, lg, axis=-1).astype(jnp.int32)
+            c0 = greedy if temperature <= 0.0 else drawn
+            frame, key = self._decode_frame(params, last_h, c0, key,
+                                            temperature, top_k)
+            toks = jnp.concatenate([frame, jnp.zeros((b, 1), jnp.int32)],
+                                   axis=-1)[:, None]
+            m = jnp.concatenate(
+                [jnp.ones((b, 1, c.audio_num_codebooks), bool),
+                 jnp.zeros((b, 1, 1), bool)], axis=-1)
+            embed_next = self._embed_frame_tokens(params, toks, m)
+            finished = frame[:, 0] == c.codebook_eos_token_id
+            return (caches, embed_next, plen, finished, key), frame, finished
+
+        return jax.jit(prefill)
