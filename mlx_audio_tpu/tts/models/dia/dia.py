@@ -304,8 +304,10 @@ class Model(FunctionalModel):
     # ------------------------------------------------- compiled decode
 
     def _decode_fns(self, max_tokens: int, cfg_scale: float,
-                    temperature: float, top_p: float, top_k: int):
-        key_ = (max_tokens, cfg_scale, temperature, top_p, top_k)
+                    temperature: float, top_p: float, top_k: int,
+                    bos_forcing: bool = True):
+        key_ = (max_tokens, cfg_scale, temperature, top_p, top_k,
+                bos_forcing)
         fns = self._jit_cache.get(key_)
         if fns is None:
             cfg = self.config
@@ -329,6 +331,21 @@ class Model(FunctionalModel):
                           for _ in range(dec.n_layer)]
                 return cross_kv, caches
 
+            def prefill(params, rows, caches, cross_kv, cross_mask):
+                # teacher-forced pass over the audio-prompt rows (2, L, C)
+                # writing decoder self-attn KV (reference dia.py:427-446)
+                def body(caches, xs):
+                    i, row = xs
+                    _, caches = decoder_step(params, cfg, row[:, None, :],
+                                             i, caches, cross_kv,
+                                             cross_mask)
+                    return caches, None
+
+                idx = jnp.arange(rows.shape[1])
+                caches, _ = jax.lax.scan(
+                    body, caches, (idx, jnp.swapaxes(rows, 0, 1)))
+                return caches
+
             def chunk(params, cur, t0, caches, cross_kv, cross_mask,
                       rng, eos_step, done):
                 def body(carry, i):
@@ -343,9 +360,12 @@ class Model(FunctionalModel):
                     lg = jnp.where(keep[None, :], lg, -jnp.inf)
                     key, sub = jax.random.split(key)
                     pred = sampler(sub, lg).astype(jnp.int32)  # (C,)
-                    # BOS forcing before each channel's delay
-                    pred = jnp.where(step >= delays, pred,
-                                     d.audio_bos_value)
+                    if bos_forcing:
+                        # BOS forcing before each channel's delay; disabled
+                        # when an audio prompt supplied the ramp (reference
+                        # dia.py:529-536)
+                        pred = jnp.where(step >= delays, pred,
+                                         d.audio_bos_value)
                     # EOS completion: channel 0 EOS starts the countdown
                     new_eos = jnp.where(
                         (eos_step < 0) & (pred[0] == d.audio_eos_value),
@@ -369,19 +389,50 @@ class Model(FunctionalModel):
                     jnp.arange(CHUNK))
                 return cur, caches, rng, eos_step, done, toks
 
-            fns = (jax.jit(setup), jax.jit(chunk))
+            fns = (jax.jit(setup), jax.jit(chunk), jax.jit(prefill))
             self._jit_cache[key_] = fns
         return fns
+
+    def _audio_prompt_codes(self, ref_audio: np.ndarray) -> np.ndarray:
+        """ref audio -> delayed (T, C) DAC codes with the per-channel BOS
+        ramp (reference audio.py:96-150 audio_to_codebook)."""
+        if self._dac is None:
+            raise RuntimeError("no DAC codec bound (model._dac)")
+        d = self.config.data
+        _, codes = self._dac.encode(
+            np.asarray(ref_audio, np.float32).reshape(1, -1))
+        codes = np.asarray(codes)[0].T.astype(np.int32)    # (T, C)
+        t_len, ch = codes.shape
+        delays = np.asarray(d.delay_pattern)[:ch]
+        tt = np.arange(t_len)[:, None] - delays[None, :]
+        gathered = codes[np.clip(tt, 0, t_len - 1), np.arange(ch)[None, :]]
+        return np.where(tt < 0, d.audio_bos_value, gathered).astype(np.int32)
 
     def generate_codes(self, text: str, max_tokens: Optional[int] = None,
                        cfg_scale: float = 3.0, temperature: float = 1.3,
                        top_p: float = 0.95, cfg_filter_top_k: int = 35,
-                       seed: int = 0) -> np.ndarray:
-        """text -> time-aligned (T, C) DAC codes."""
+                       seed: int = 0,
+                       prompt_codes: Optional[np.ndarray] = None
+                       ) -> np.ndarray:
+        """text -> time-aligned (T, C) DAC codes. `prompt_codes` (delayed
+        rows from _audio_prompt_codes) voice-condition the decoder: they
+        are teacher-forced into the KV caches before sampling and BOS
+        forcing is disabled (reference dia.py:402-446, 529-536)."""
         cfg = self.config
         d = cfg.data
         max_tokens = max_tokens or d.audio_length
         max_tokens = ((max_tokens + CHUNK - 1) // CHUNK) * CHUNK
+
+        bos_row = np.full((1, d.channels), d.audio_bos_value, np.int32)
+        if prompt_codes is not None:
+            rows = np.concatenate([bos_row, np.asarray(prompt_codes,
+                                                       np.int32)], axis=0)
+            lb = ((len(rows) + CHUNK - 1) // CHUNK) * CHUNK
+            rows_p = np.concatenate(
+                [rows, np.repeat(rows[-1:], lb - len(rows), axis=0)], axis=0)
+            cap = max_tokens + lb
+        else:
+            rows, rows_p, lb, cap = bos_row, None, 0, max_tokens
 
         tokens, mask = self._prepare_text(text)
         src = np.zeros((2, d.text_length), np.int32)
@@ -390,28 +441,37 @@ class Model(FunctionalModel):
         src_mask[1] = mask
         src_mask[0] = mask        # reference reuses the cond mask
 
-        setup, chunk = self._decode_fns(max_tokens, cfg_scale,
-                                        temperature, top_p,
-                                        cfg_filter_top_k)
+        setup, chunk, prefill = self._decode_fns(
+            cap, cfg_scale, temperature, top_p, cfg_filter_top_k,
+            bos_forcing=prompt_codes is None)
         cross_kv, caches = setup(self.params, jnp.asarray(src),
                                  jnp.asarray(src_mask))
         cross_mask = jnp.asarray(src_mask)
 
-        cur = jnp.full((2, d.channels), d.audio_bos_value, jnp.int32)
+        if prompt_codes is not None:
+            tiled = jnp.asarray(np.broadcast_to(
+                rows_p[None], (2,) + rows_p.shape))
+            caches = prefill(self.params, tiled, caches, cross_kv,
+                             cross_mask)
+            cur = jnp.asarray(np.broadcast_to(rows[-1][None],
+                                              (2, d.channels)))
+            t = jnp.int32(len(rows) - 1)
+        else:
+            cur = jnp.full((2, d.channels), d.audio_bos_value, jnp.int32)
+            t = jnp.int32(0)
         rng = jax.random.PRNGKey(seed)
         eos_step = jnp.int32(-1)
         done = jnp.bool_(False)
-        t = jnp.int32(0)
-        rows: List[np.ndarray] = []
-        while len(rows) * CHUNK < max_tokens:
+        out_rows: List[np.ndarray] = []
+        while len(out_rows) * CHUNK < max_tokens:
             cur, caches, rng, eos_step, done, toks = chunk(
                 self.params, cur, t, caches, cross_kv, cross_mask, rng,
                 eos_step, done)
-            rows.append(np.asarray(toks))
+            out_rows.append(np.asarray(toks))
             t = t + CHUNK
             if bool(done):
                 break
-        gen = np.concatenate(rows, axis=0)                # (T, C)
+        gen = np.concatenate(out_rows, axis=0)            # (T, C)
         gen = gen[(gen >= 0).all(axis=1)]
         aligned = revert_delay(gen, d.delay_pattern, d.audio_pad_value)
         # keep rows before any EOS/PAD on channel 0
@@ -424,7 +484,15 @@ class Model(FunctionalModel):
                  temperature: float = 1.3, top_p: float = 0.95,
                  split_pattern: str = "\n",
                  max_tokens: Optional[int] = None, verbose: bool = False,
-                 cfg_scale: float = 3.0, seed: int = 0, **kwargs):
+                 cfg_scale: float = 3.0, seed: int = 0,
+                 ref_audio=None, ref_text: Optional[str] = None, **kwargs):
+        prompt_codes = None
+        if ref_audio is not None:
+            if not isinstance(ref_audio, np.ndarray):
+                from ....utils import load_audio
+                ref_audio = np.asarray(load_audio(
+                    ref_audio, sample_rate=self.sample_rate))
+            prompt_codes = self._audio_prompt_codes(ref_audio)
         prompt = text.replace("\\n", "\n").replace("\\t", "\t")
         segments = []
         for piece in prompt.split(split_pattern):
@@ -435,10 +503,13 @@ class Model(FunctionalModel):
 
         for idx, segment in enumerate(segments):
             t0 = time.perf_counter()
-            codes = self.generate_codes(segment, max_tokens=max_tokens,
+            seg_text = segment if ref_text is None else \
+                (ref_text.strip() + " " + segment)
+            codes = self.generate_codes(seg_text, max_tokens=max_tokens,
                                         cfg_scale=cfg_scale,
                                         temperature=temperature,
-                                        top_p=top_p, seed=seed + idx)
+                                        top_p=top_p, seed=seed + idx,
+                                        prompt_codes=prompt_codes)
             if self._dac is None:
                 raise RuntimeError("no DAC codec bound (model._dac)")
             audio = np.asarray(self._dac.decode(

@@ -527,6 +527,8 @@ class Model(FunctionalModel):
                  max_tokens: Optional[int] = None,
                  ras_win_len: int = 7, ras_max_repeat: int = 2,
                  stream: bool = False, streaming_interval: float = 0.64,
+                 overlap_ms: float = 40.0, fade_in_ms: float = 30.0,
+                 fade_out_ms: float = 15.0,
                  seed: int = 0, verbose: bool = False, **kwargs
                  ) -> Iterator[GenerationResult]:
         t0 = time.time()
@@ -550,12 +552,22 @@ class Model(FunctionalModel):
         if stream:
             yield from self._stream_overlap_add(
                 gen, t0, emit_every_frames=max(
-                    int(streaming_interval * 25), 4))
+                    int(streaming_interval * 25), 4),
+                overlap_ms=overlap_ms)
             return
 
         frames = np.concatenate(list(gen), axis=0)     # (N, K) delayed
         codes = self._frames_to_codes(frames)
         audio = self._decode_codes(codes)
+        # edge fades (reference model.py:134-135, 195-209)
+        sr = self.sample_rate
+        n_in = int(fade_in_ms * sr / 1000.0)
+        n_out = int(fade_out_ms * sr / 1000.0)
+        audio = np.asarray(audio, np.float32).copy()
+        if n_in > 0 and audio.size > n_in:
+            audio[:n_in] *= np.linspace(0.0, 1.0, n_in, dtype=np.float32)
+        if n_out > 0 and audio.size > n_out:
+            audio[-n_out:] *= np.linspace(1.0, 0.0, n_out, dtype=np.float32)
         dt = time.time() - t0
         yield self._result(audio, 0, codes.shape[1], dt, codes=codes,
                            final=True)

@@ -125,11 +125,64 @@ class Model(KokoroModel):
 
     # -- generation ----------------------------------------------------------
 
+    @staticmethod
+    def _ensure_punctuation(text: str) -> str:
+        text = text.strip()
+        return text if (not text or text[-1] in ".!?;:,") else text + "."
+
+    def _crossfade(self, prev: np.ndarray, nxt: np.ndarray,
+                   crossfade_samples: int):
+        """Equal-gain linear blend of the chunk boundary (reference
+        kitten_tts.py:622-634). Returns (emit_now, carried_remainder)."""
+        fade = min(crossfade_samples, len(prev), len(nxt))
+        if fade <= 0:
+            return prev, nxt
+        t = np.arange(fade, dtype=np.float32) / fade
+        blended = prev[-fade:] * (1.0 - t) + nxt[:fade] * t
+        return np.concatenate([prev[:-fade], blended]), nxt[fade:]
+
+    def _apply_tail(self, audio: np.ndarray, fade_out_ms: float,
+                    tail_silence_ms: float) -> np.ndarray:
+        """Dynamic fade-out from the last energetic frame + tail silence
+        (reference kitten_tts.py:541-620, RMS heuristics simplified to the
+        last-energetic-frame fade)."""
+        sr = self.config.sample_rate
+        fade_out = int(sr * max(fade_out_ms, 0) / 1000)
+        tail = int(sr * max(tail_silence_ms, 0) / 1000)
+        audio = np.asarray(audio, np.float32)
+        if fade_out > 0 and len(audio) > fade_out:
+            hop = max(1, sr // 100)
+            tail_len = min(len(audio), int(sr * max(fade_out_ms, 400) / 1000))
+            fade_start = len(audio) - fade_out
+            frames = audio[-tail_len:][: (tail_len // hop) * hop]
+            if len(frames) >= hop:
+                rms = np.sqrt((frames.reshape(-1, hop) ** 2).mean(axis=1))
+                thr = max(float(rms.max()) * 0.05, 1e-4)
+                idxs = np.flatnonzero(rms > thr)
+                if len(idxs):
+                    fade_start = len(audio) - tail_len + int(idxs[-1]) * hop
+            fade_len = len(audio) - fade_start
+            if fade_len < fade_out:
+                fade_start = max(0, len(audio) - fade_out)
+                fade_len = len(audio) - fade_start
+            if fade_len > 0:
+                curve = 1.0 - np.arange(fade_len,
+                                        dtype=np.float32) / fade_len
+                audio = np.concatenate([audio[:fade_start],
+                                        audio[fade_start:] * curve])
+        if tail > 0:
+            audio = np.concatenate([audio, np.zeros(tail, np.float32)])
+        return audio
+
     def generate(self, text: str, voice: Optional[str] = None,
                  speed: float = 1.0, lang_code: str = "a",
-                 split_pattern: str = r"\n+", **kwargs):
-        """Kokoro-style generator but with npz voices + per-voice speed
-        priors (reference kitten_tts Model.generate)."""
+                 split_pattern: str = r"\n+", clean_text: bool = True,
+                 chunk_size: int = 400, crossfade_ms: float = 20,
+                 fade_out_ms: float = 200, tail_silence_ms: float = 200,
+                 **kwargs):
+        """Kokoro-style generator but with npz voices, per-voice speed
+        priors, chunk crossfading and tail shaping (reference kitten_tts
+        Model.generate :512-680)."""
         import time as _time
 
         from ...g2p import g2p
@@ -138,31 +191,48 @@ class Model(KokoroModel):
 
         voice = voice or (self.get_supported_speakers() or ["default"])[0]
         speed = speed * float(self.speed_priors.get(voice, 1.0))
+        if clean_text:
+            text = self._ensure_punctuation(text)
+        crossfade_samples = int(self.config.sample_rate
+                                * max(crossfade_ms, 0) / 1000)
         segments = KokoroPipeline.split_segments(text, split_pattern)
         start = _time.time()
+        pieces = []  # (segment_idx, ids, audio)
         for segment_idx, segment in enumerate(segments):
             ps = g2p(segment)
-            for chunk in KokoroPipeline.chunk_phonemes(ps):
+            for chunk in KokoroPipeline.chunk_phonemes(
+                    ps, max_len=min(chunk_size, 510)):
                 ids = self.phonemes_to_ids(chunk)
                 if not ids:
                     continue
                 ref_s = self.get_voice(voice, len(ids))
                 audio, _ = self(chunk, ref_s, speed=speed)
-                now = _time.time()
-                seg_time = now - start
-                start = now
-                dur = len(audio) / self.config.sample_rate
-                yield GenerationResult(
-                    audio=audio, samples=len(audio),
-                    sample_rate=self.config.sample_rate,
-                    segment_idx=segment_idx, token_count=len(ids),
-                    audio_duration=format_duration(dur),
-                    real_time_factor=round(seg_time / dur, 2) if dur else 0,
-                    prompt={"tokens": len(ids), "tokens-per-sec":
-                            round(len(ids) / seg_time, 2) if seg_time else 0},
-                    audio_samples={"samples": len(audio), "samples-per-sec":
-                                   round(len(audio) / seg_time, 2)
-                                   if seg_time else 0},
-                    processing_time_seconds=seg_time,
-                    peak_memory_usage=peak_memory_gb(),
-                )
+                pieces.append((segment_idx, ids, np.asarray(audio)))
+
+        for i, (segment_idx, ids, audio) in enumerate(pieces):
+            if i + 1 < len(pieces):
+                audio, rest = self._crossfade(
+                    audio, pieces[i + 1][2], crossfade_samples)
+                pieces[i + 1] = (pieces[i + 1][0], pieces[i + 1][1], rest)
+            else:
+                audio = self._apply_tail(audio, fade_out_ms, tail_silence_ms)
+            if not len(audio):
+                continue
+            now = _time.time()
+            seg_time = now - start
+            start = now
+            dur = len(audio) / self.config.sample_rate
+            yield GenerationResult(
+                audio=audio, samples=len(audio),
+                sample_rate=self.config.sample_rate,
+                segment_idx=segment_idx, token_count=len(ids),
+                audio_duration=format_duration(dur),
+                real_time_factor=round(seg_time / dur, 2) if dur else 0,
+                prompt={"tokens": len(ids), "tokens-per-sec":
+                        round(len(ids) / seg_time, 2) if seg_time else 0},
+                audio_samples={"samples": len(audio), "samples-per-sec":
+                               round(len(audio) / seg_time, 2)
+                               if seg_time else 0},
+                processing_time_seconds=seg_time,
+                peak_memory_usage=peak_memory_gb(),
+            )

@@ -738,6 +738,10 @@ class Model(FunctionalModel):
         voice: Optional[str] = None,
         speaker: Optional[str] = None,
         language: str = "auto",
+        lang_code: Optional[str] = None,
+        speed: float = 1.0,
+        split_pattern: Optional[str] = "\n",
+        streaming_context_size: int = 25,
         instruct: Optional[str] = None,
         ref_audio: Optional[np.ndarray] = None,
         ref_text: Optional[str] = None,
@@ -757,7 +761,34 @@ class Model(FunctionalModel):
         ref_audio+ref_text selects the ICL voice-cloning path (reference
         _generate_icl :2212); ref_audio alone uses the x-vector speaker
         embedding; instruct drives VoiceDesign/CustomVoice prompts.
+        `lang_code` aliases `language`; `split_pattern` yields one result
+        stream per text segment (reference :1148, 1268-1272); `speed` is
+        accepted but not directly supported (reference :1171); the codec's
+        streaming context comes from the checkpoint's sliding_window, so
+        `streaming_context_size` is accepted for API parity.
         """
+        del streaming_context_size
+        if lang_code is not None:
+            language = lang_code
+        del speed  # reference :1171: "not directly supported yet"
+        if text is not None and text_ids is None and split_pattern:
+            segments = [t.strip() for t in text.split(split_pattern)
+                        if t.strip()]
+            if len(segments) > 1:
+                import dataclasses as _dc
+                for seg_idx, seg in enumerate(segments):
+                    for r in self.generate(
+                            text=seg, voice=voice, speaker=speaker,
+                            language=language, split_pattern=None,
+                            instruct=instruct, ref_audio=ref_audio,
+                            ref_text=ref_text, temperature=temperature,
+                            top_k=top_k, top_p=top_p,
+                            repetition_penalty=repetition_penalty,
+                            max_tokens=max_tokens, stream=stream,
+                            streaming_interval=streaming_interval,
+                            seed=seed + seg_idx, verbose=verbose, **kwargs):
+                        yield _dc.replace(r, segment_idx=seg_idx)
+                return
         speaker = speaker or voice
         t_start = time.time()
         icl = ref_audio is not None and ref_text is not None

@@ -297,8 +297,8 @@ class Model(FunctionalModel):
 
     def generate(self, text: str, voice: Optional[str] = None,
                  temperature: float = 0.3, top_p: float = 0.95,
-                 max_tokens: int = 512, verbose: bool = False,
-                 seed: int = 0, **kwargs):
+                 split_pattern: str = "\n", max_tokens: int = 512,
+                 verbose: bool = False, seed: int = 0, **kwargs):
         if self._tokenizer is None:
             raise RuntimeError("soprano needs its HF tokenizer (place "
                                "tokenizer files in the model directory)")
@@ -307,7 +307,13 @@ class Model(FunctionalModel):
             ids = self._tokenizer.encode("[STOP]",
                                          add_special_tokens=False)
             stop_id = ids[0]
-        for idx, prompt in enumerate(self.preprocess_text(text)):
+        # split_pattern segments first, then sentence preprocessing per
+        # segment (reference soprano.py:388-392)
+        pieces = [p for p in text.replace("\\n", "\n").split(split_pattern)
+                  if p.strip()] if split_pattern else [text]
+        prompts = [pr for piece in pieces
+                   for pr in self.preprocess_text(piece)]
+        for idx, prompt in enumerate(prompts):
             t0 = time.perf_counter()
             ids = np.asarray(self._tokenizer.encode(
                 prompt, add_special_tokens=False), np.int32)

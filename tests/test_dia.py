@@ -225,3 +225,53 @@ class TestHFParity:
         hf_l = out.logits.numpy().reshape(B, C, T, 40).transpose(
             0, 2, 1, 3)
         np.testing.assert_allclose(ours, hf_l, atol=2e-5)
+
+
+class TestAudioPrompt:
+    """Voice conditioning via ref_audio (reference dia.py:402-446)."""
+
+    @pytest.fixture(scope="class")
+    def model(self):
+        return Model(_tiny_cfg()).init_and_bind()
+
+    @pytest.fixture(scope="class")
+    def dac_model(self):
+        from mlx_audio_tpu.codec.models.descript import DAC, ModelConfig as DACConfig
+
+        cfg = DACConfig(encoder_dim=8, encoder_rates=[2, 4],
+                        decoder_dim=16, decoder_rates=[4, 2],
+                        n_codebooks=4, codebook_size=1024,
+                        codebook_dim=8, sample_rate=44100)
+        return DAC(cfg).init_and_bind()
+
+    def test_prompt_codes_delay_ramp(self, model, dac_model):
+        model._dac = dac_model
+        audio = np.random.RandomState(0).randn(2048).astype(np.float32)
+        rows = model._audio_prompt_codes(audio)
+        d = model.config.data
+        assert rows.shape[1] == d.channels
+        for c, delay in enumerate(d.delay_pattern):
+            if delay > 0:
+                assert (rows[:delay, c] == d.audio_bos_value).all()
+                assert rows[delay, c] < 1024
+
+    def test_generate_with_ref_audio(self, model, dac_model):
+        model._dac = dac_model
+        audio = np.random.RandomState(1).randn(2048).astype(np.float32)
+        outs = list(model.generate("[S1] cloned [S2] yes", ref_audio=audio,
+                                   ref_text="[S1] ref", max_tokens=32,
+                                   seed=3))
+        assert len(outs) >= 1
+        assert all(r.samples > 0 for r in outs)
+        assert all(np.isfinite(np.asarray(r.audio)).all() for r in outs)
+
+    def test_ref_changes_generation(self, model, dac_model):
+        model._dac = dac_model
+        audio = np.random.RandomState(2).randn(2048).astype(np.float32)
+        plain = model.generate_codes("[S1] same [S2] text", max_tokens=32,
+                                     seed=4)
+        prompted = model.generate_codes(
+            "[S1] same [S2] text", max_tokens=32, seed=4,
+            prompt_codes=model._audio_prompt_codes(audio))
+        assert plain.shape != prompted.shape or \
+            not np.array_equal(plain, prompted)

@@ -127,6 +127,7 @@ class TestGenerate:
         total = np.concatenate([np.asarray(c.audio) for c in chunks])
         off = list(model.generate("streaming test sentence",
                                   temperature=0.0, max_new_frames=24,
+                                  fade_in_ms=0.0, fade_out_ms=0.0,
                                   seed=3))
         offline = np.asarray(off[0].audio)
         # overlap-add re-decode converges to the offline audio

@@ -115,6 +115,20 @@ class TestKittenTTS:
         assert len(results) == 1
         assert results[0].samples > 0
         assert np.isfinite(np.asarray(results[0].audio)).all()
+        # tail shaping (reference kitten_tts.py:516-521): trailing silence
+        # appended, faded end
+        tailed = list(m.generate("Hello world.", voice="carol",
+                                 tail_silence_ms=100, fade_out_ms=50))[0]
+        a = np.asarray(tailed.audio)
+        n_sil = int(0.1 * m.config.sample_rate)
+        assert len(a) >= n_sil and np.abs(a[-n_sil // 2:]).max() == 0.0
+        # crossfaded multi-chunk output stays finite and joins chunks
+        multi = list(m.generate("one. two. three. four. five. six.",
+                                voice="carol", chunk_size=10,
+                                crossfade_ms=10))
+        assert len(multi) >= 2
+        for r in multi:
+            assert np.isfinite(np.asarray(r.audio)).all()
 
     def test_fake_quant_identity_on_constant(self):
         from mlx_audio_tpu.tts.models.kitten_tts.kitten_tts import (

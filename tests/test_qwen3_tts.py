@@ -232,3 +232,24 @@ class TestPreTransformerCode2WavParity:
         got, _ = pre_transformer_forward(params, cfg, jnp.asarray(x))
         np.testing.assert_allclose(np.asarray(got), ref,
                                    atol=5e-4, rtol=5e-3)
+
+
+class TestKwargsParity:
+    """Reference generate surface :1138-1272: lang_code alias,
+    split_pattern segmentation, speed accepted."""
+
+    def test_split_pattern_segments(self, model):
+        class Tok:
+            def encode(self, t):
+                return [ord(c) % 400 + 10 for c in t][:32]
+
+        model.tokenizer = Tok()
+        try:
+            outs = list(model.generate(text="one\ntwo", lang_code="auto",
+                                       speed=1.0, temperature=0.0,
+                                       max_tokens=12, seed=0))
+        finally:
+            model.tokenizer = None
+        assert {r.segment_idx for r in outs} == {0, 1}
+        for r in outs:
+            assert np.isfinite(np.asarray(r.audio)).all()
