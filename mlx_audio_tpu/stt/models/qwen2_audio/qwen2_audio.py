@@ -177,11 +177,20 @@ class Model(FunctionalModel):
 
     # ------------------------------------------------------------- decode
 
-    def _lm_fns(self, pb: int, max_tokens: int, eos_ids: Tuple[int, ...]):
-        key_ = ("lm", pb, max_tokens, eos_ids)
+    def _lm_fns(self, pb: int, max_tokens: int, eos_ids: Tuple[int, ...],
+                temperature: float = 0.0, top_k: int = 0,
+                top_p: float = 1.0, min_p: float = 0.0,
+                repetition_penalty: float = 1.0,
+                repetition_context_size: int = 20):
+        key_ = ("lm", pb, max_tokens, eos_ids, temperature, top_k, top_p,
+                min_p, repetition_penalty, repetition_context_size)
         fns = self._jit_cache.get(key_)
         if fns is not None:
             return fns
+        from ....ops.sampling import apply_repetition_penalty, make_sampler
+
+        sampler = make_sampler(temperature=temperature, top_k=top_k,
+                               top_p=top_p, min_p=min_p)
         t = self.config.text
         cap = pb + max_tokens
         eos = jnp.asarray(eos_ids, jnp.int32)
@@ -197,27 +206,38 @@ class Model(FunctionalModel):
                 hidden[jnp.arange(1), length - 1][:, None])[:, 0]
             return lg, caches
 
-        def decode(p, lg, caches, plen):
+        def decode(p, lg, caches, plen, rng):
             toks0 = jnp.full((max_tokens,), -1, jnp.int32)
+            hist0 = jnp.full((1, repetition_context_size), -1, jnp.int32)
 
             def cond(st):
-                i, _, _, _, done = st
+                i = st[0]
+                done = st[-1]
                 return jnp.logical_and(i < max_tokens,
                                        jnp.logical_not(done))
 
             def body(st):
-                i, lg, caches, toks, done = st
-                tok = jnp.argmax(lg, axis=-1).astype(jnp.int32)[0]
+                i, lg, caches, toks, hist, rng, done = st
+                if temperature <= 0.0 and repetition_penalty == 1.0:
+                    tok = jnp.argmax(lg, axis=-1).astype(jnp.int32)[0]
+                else:
+                    lg2 = apply_repetition_penalty(
+                        lg.astype(jnp.float32), hist, repetition_penalty)
+                    rng, sub = jax.random.split(rng)
+                    tok = sampler(sub, lg2)[0] if temperature > 0.0 \
+                        else jnp.argmax(lg2, axis=-1).astype(jnp.int32)[0]
                 is_eos = jnp.any(tok == eos)
                 toks = jnp.where(is_eos, toks, toks.at[i].set(tok))
+                hist = jnp.roll(hist, -1, axis=1).at[:, -1].set(
+                    jnp.where(is_eos, -1, tok))
                 lg2, caches = decode_step(p["language_model"], t,
                                           tok[None, None], caches,
                                           plen + i)
-                return (i + 1, lg2, caches, toks,
+                return (i + 1, lg2, caches, toks, hist, rng,
                         jnp.logical_or(done, is_eos))
 
-            _, _, _, toks, _ = jax.lax.while_loop(
-                cond, body, (jnp.int32(0), lg, caches, toks0,
+            _, _, _, toks, _, _, _ = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), lg, caches, toks0, hist0, rng,
                              jnp.bool_(False)))
             return toks
 
@@ -226,7 +246,11 @@ class Model(FunctionalModel):
         return fns
 
     def generate(self, audio, *, prompt: Optional[str] = None,
-                 max_tokens: int = 256, verbose: bool = False,
+                 max_tokens: int = 256, temperature: float = 0.0,
+                 top_k: int = 0, top_p: float = 1.0, min_p: float = 0.0,
+                 repetition_penalty: float = 1.0,
+                 repetition_context_size: int = 20, seed: int = 0,
+                 verbose: bool = False,
                  **kwargs) -> STTOutput:
         t0 = time.time()
         if isinstance(audio, (str, Path)):
@@ -248,10 +272,15 @@ class Model(FunctionalModel):
         embeds[0, pos[:m]] = np.asarray(audio_embeds)[:m]
 
         eos = self._eos_ids()
-        prefill, decode = self._lm_fns(pb, max_tokens, eos)
+        prefill, decode = self._lm_fns(
+            pb, max_tokens, eos, temperature=float(temperature),
+            top_k=int(top_k), top_p=float(top_p), min_p=float(min_p),
+            repetition_penalty=float(repetition_penalty),
+            repetition_context_size=int(repetition_context_size))
         lg, caches = prefill(self.params, jnp.asarray(embeds),
                              jnp.int32(n))
-        toks = np.asarray(decode(self.params, lg, caches, jnp.int32(n)))
+        toks = np.asarray(decode(self.params, lg, caches, jnp.int32(n),
+                                 jax.random.PRNGKey(seed)))
         generated = [int(x) for x in toks[toks >= 0]]
         text = (self._tokenizer.decode(generated,
                                        skip_special_tokens=True)

@@ -282,11 +282,18 @@ class Model(FunctionalModel):
 
     # ------------------------------------------------------------- decode
 
-    def _lm_fns(self, pb: int, max_tokens: int, eos_ids: Tuple[int, ...]):
-        key_ = ("lm", pb, max_tokens, eos_ids)
+    def _lm_fns(self, pb: int, max_tokens: int, eos_ids: Tuple[int, ...],
+                temperature: float = 0.0, top_k: int = 0,
+                top_p: float = 1.0, min_p: float = 0.0):
+        key_ = ("lm", pb, max_tokens, eos_ids, temperature, top_k, top_p,
+                min_p)
         fns = self._jit_cache.get(key_)
         if fns is not None:
             return fns
+        from ....ops.sampling import make_sampler
+
+        sampler = make_sampler(temperature=temperature, top_k=top_k,
+                               top_p=top_p, min_p=min_p)
         t = self.config.text
         cap = pb + max_tokens
         eos = jnp.asarray(eos_ids, jnp.int32)
@@ -302,37 +309,42 @@ class Model(FunctionalModel):
                 hidden[jnp.arange(1), length - 1][:, None])[:, 0]
             return lg, caches
 
-        def decode(p, lg, caches, plen):
+        def decode(p, lg, caches, plen, rng):
             toks0 = jnp.full((max_tokens,), -1, jnp.int32)
 
             def cond(st):
-                i, _, _, _, done = st
+                i, _, _, _, _, done = st
                 return jnp.logical_and(i < max_tokens,
                                        jnp.logical_not(done))
 
             def body(st):
-                i, lg, caches, toks, done = st
-                tok = jnp.argmax(lg, axis=-1).astype(jnp.int32)[0]
+                i, lg, caches, toks, rng, done = st
+                if temperature <= 0.0:
+                    tok = jnp.argmax(lg, axis=-1).astype(jnp.int32)[0]
+                else:
+                    rng, sub = jax.random.split(rng)
+                    tok = sampler(sub, lg.astype(jnp.float32))[0]
                 is_eos = jnp.any(tok == eos)
                 toks = jnp.where(is_eos, toks, toks.at[i].set(tok))
                 lg2, caches = decode_step(p["language_model"], t,
                                           tok[None, None], caches,
                                           plen + i)
-                return (i + 1, lg2, caches, toks,
+                return (i + 1, lg2, caches, toks, rng,
                         jnp.logical_or(done, is_eos))
 
-            _, _, _, toks, _ = jax.lax.while_loop(
-                cond, body, (jnp.int32(0), lg, caches, toks0,
+            _, _, _, toks, _, _ = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), lg, caches, toks0, rng,
                              jnp.bool_(False)))
             return toks
 
-        fns = (jax.jit(prefill), jax.jit(
-            lambda p, lg, caches, plen: decode(p, lg, caches, plen)))
+        fns = (jax.jit(prefill), jax.jit(decode))
         self._jit_cache[key_] = fns
         return fns
 
     def generate(self, audio, *, language: str = "en",
-                 max_tokens: int = 128, verbose: bool = False,
+                 max_tokens: int = 128, temperature: float = 0.0,
+                 top_k: int = 0, top_p: float = 1.0, min_p: float = 0.0,
+                 seed: int = 0, verbose: bool = False,
                  **kwargs) -> STTOutput:
         t0 = time.time()
         if isinstance(audio, (str, Path)):
@@ -353,10 +365,13 @@ class Model(FunctionalModel):
         embeds[0, pos[:m]] = np.asarray(audio_embeds)[:m]
 
         eos = tuple(sorted(self._tekken.eos_ids)) or (2,)
-        prefill, decode = self._lm_fns(pb, max_tokens, eos)
+        prefill, decode = self._lm_fns(
+            pb, max_tokens, eos, temperature=float(temperature),
+            top_k=int(top_k), top_p=float(top_p), min_p=float(min_p))
         lg, caches = prefill(self.params, jnp.asarray(embeds),
                              jnp.int32(n))
-        toks = np.asarray(decode(self.params, lg, caches, jnp.int32(n)))
+        toks = np.asarray(decode(self.params, lg, caches, jnp.int32(n),
+                                 jax.random.PRNGKey(seed)))
         generated = [int(x) for x in toks[toks >= 0]]
         text = self._tekken.decode(generated)
         dt = time.time() - t0

@@ -483,6 +483,8 @@ class Model(FunctionalModel):
         initial_prompt: Optional[str] = None,
         return_timestamps: bool = True,
         word_timestamps: bool = False,
+        clip_timestamps="0",
+        hallucination_silence_threshold: Optional[float] = None,
         stream: bool = False,
         **decode_options,
     ) -> STTOutput:
@@ -516,18 +518,51 @@ class Model(FunctionalModel):
         else:
             initial_prompt_tokens = []
 
-        seek = 0
+        # clip_timestamps "start,end,start,end,..." -> seek windows
+        # (reference whisper.py:915-931)
+        if isinstance(clip_timestamps, str):
+            clip_timestamps = [float(ts) for ts in
+                               (clip_timestamps.split(",")
+                                if clip_timestamps else [])]
+        seek_points = [round(ts * FRAMES_PER_SECOND)
+                       for ts in clip_timestamps]
+        if not seek_points:
+            seek_points.append(0)
+        if len(seek_points) % 2 == 1:
+            seek_points.append(content_frames)
+        else:
+            seek_points[-1] = min(content_frames, seek_points[-1])
+        seek_clips = list(zip(seek_points[::2], seek_points[1::2]))
+
+        clip_idx = 0
+        seek = seek_clips[0][0]
         input_stride = 2  # mel frames per token position
         time_precision = input_stride * HOP_LENGTH / SAMPLE_RATE  # 0.02
         prompt_tokens_count = 0
         gen_tokens_count = 0
+        last_speech_timestamp = 0.0
+        content_duration = content_frames * HOP_LENGTH / SAMPLE_RATE
+        punctuation = "\"'\u201c\u00bf([{-\"'.\u3002,\uff0c!\uff01?\uff1f:\uff1a\u201d)]}\u3001"
 
-        while seek < content_frames:
+        while clip_idx < len(seek_clips):
+            seek_clip_start, seek_clip_end = seek_clips[clip_idx]
+            if seek < seek_clip_start:
+                seek = seek_clip_start
+            if seek >= seek_clip_end or seek >= content_frames:
+                clip_idx += 1
+                if clip_idx < len(seek_clips):
+                    seek = max(seek, seek_clips[clip_idx][0])
+                continue
             time_offset = seek * HOP_LENGTH / SAMPLE_RATE
+            window_end_time = (seek + self.window_frames) \
+                * HOP_LENGTH / SAMPLE_RATE
             mel_segment = mel[seek: seek + self.window_frames]
-            segment_size = min(self.window_frames, content_frames - seek)
+            segment_size = min(self.window_frames, content_frames - seek,
+                               seek_clip_end - seek)
             segment_duration = segment_size * HOP_LENGTH / SAMPLE_RATE
-            mel_segment = pad_or_trim(mel_segment, self.window_frames)[None]
+            mel_segment = pad_or_trim(mel_segment[:segment_size],
+                                      self.window_frames)[None]
+            previous_seek = seek
 
             prompt = all_tokens[prompt_reset_since:] \
                 if condition_on_previous_text else initial_prompt_tokens
@@ -619,6 +654,101 @@ class Model(FunctionalModel):
                     model=self, tokenizer=tokenizer,
                     mel_segment=mel_segment, num_frames=segment_size,
                     time_offset=time_offset)
+
+                def _get_end(segs):
+                    return next((w["end"] for seg in reversed(segs)
+                                 for w in reversed(seg.get("words") or [])),
+                                None)
+
+                current = all_segments[window_seg_start:]
+                if not single_ts_end:
+                    last_word_end = _get_end(current)
+                    if last_word_end is not None \
+                            and last_word_end > time_offset:
+                        seek = round(last_word_end * FRAMES_PER_SECOND)
+
+                # hallucination skipping (reference whisper.py:1171-1237):
+                # anomalous word runs surrounded by silence are dropped and
+                # the window re-seeks past the silence
+                if hallucination_silence_threshold is not None:
+                    threshold = hallucination_silence_threshold
+
+                    def word_anomaly_score(word):
+                        prob = word.get("probability", 0.0)
+                        dur = word["end"] - word["start"]
+                        score = 0.0
+                        if prob < 0.15:
+                            score += 1.0
+                        if dur < 0.133:
+                            score += (0.133 - dur) * 15
+                        if dur > 2.0:
+                            score += dur - 2.0
+                        return score
+
+                    def is_segment_anomaly(seg):
+                        if seg is None or not seg.get("words"):
+                            return False
+                        words = [w for w in seg["words"]
+                                 if w["word"] not in punctuation][:8]
+                        score = sum(word_anomaly_score(w) for w in words)
+                        return score >= 3 or score + 0.01 >= len(words)
+
+                    def next_words_segment(segs):
+                        return next((s for s in segs if s.get("words")),
+                                    None)
+
+                    if not single_ts_end:
+                        last_word_end = _get_end(current)
+                        if last_word_end is not None \
+                                and last_word_end > time_offset:
+                            remaining = window_end_time - last_word_end
+                            if remaining > threshold:
+                                seek = round(
+                                    last_word_end * FRAMES_PER_SECOND)
+                            else:
+                                seek = previous_seek + segment_size
+
+                    first_segment = next_words_segment(current)
+                    if first_segment is not None \
+                            and is_segment_anomaly(first_segment):
+                        gap = first_segment["start"] - time_offset
+                        if gap > threshold:
+                            # drop this window and re-decode past the gap
+                            del all_segments[window_seg_start:]
+                            seek = previous_seek + round(
+                                gap * FRAMES_PER_SECOND)
+                            continue
+
+                    hal_last_end = last_speech_timestamp
+                    for si, seg in enumerate(current):
+                        if not seg.get("words"):
+                            continue
+                        if is_segment_anomaly(seg):
+                            nxt = next_words_segment(current[si + 1:])
+                            hal_next_start = (nxt["words"][0]["start"]
+                                              if nxt is not None else
+                                              time_offset + segment_duration)
+                            silence_before = (
+                                seg["start"] - hal_last_end > threshold
+                                or seg["start"] < threshold
+                                or seg["start"] - time_offset < 2.0)
+                            silence_after = (
+                                hal_next_start - seg["end"] > threshold
+                                or is_segment_anomaly(nxt)
+                                or window_end_time - seg["end"] < 2.0)
+                            if silence_before and silence_after:
+                                seek = round(max(time_offset + 1,
+                                                 seg["start"])
+                                             * FRAMES_PER_SECOND)
+                                if content_duration - seg["end"] < threshold:
+                                    seek = content_frames
+                                del all_segments[window_seg_start + si:]
+                                break
+                        hal_last_end = seg["end"]
+
+                last_word_end = _get_end(all_segments[window_seg_start:])
+                if last_word_end is not None:
+                    last_speech_timestamp = last_word_end
 
             all_tokens.extend([int(t) for t in tokens])
             if not condition_on_previous_text or result.temperature > 0.5:

@@ -89,3 +89,16 @@ class TestRegistry:
                                     category="stt",
                                     model_remapping=MODEL_REMAPPING)
         assert hasattr(module, "Model")
+
+
+class TestSampling:
+    def test_sampled_decode_runs(self, model):
+        """temperature/top_k/top_p/repetition_penalty reach the compiled
+        decode (reference passes them to mlx_lm stream_generate)."""
+        audio = np.random.RandomState(7).randn(16000).astype(np.float32)
+        out = model.generate(audio, max_tokens=8, temperature=0.8,
+                             top_k=20, top_p=0.9,
+                             repetition_penalty=1.2, seed=1)
+        assert isinstance(out.text, str)
+        out2 = model.generate(audio, max_tokens=8, temperature=0.0)
+        assert isinstance(out2.text, str)

@@ -115,3 +115,11 @@ class TestRegistry:
         module, _ = get_model_class(model_type="voxtral", category="stt",
                                     model_remapping=MODEL_REMAPPING)
         assert module.__name__.endswith("voxtral")
+
+
+class TestSampling:
+    def test_sampled_decode_runs(self, model):
+        audio = np.random.RandomState(7).randn(16000).astype(np.float32)
+        out = model.generate(audio, max_tokens=8, temperature=0.7,
+                             top_k=10, top_p=0.9, seed=2)
+        assert isinstance(out.text, str)

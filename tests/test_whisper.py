@@ -169,3 +169,36 @@ class TestBeamSearch:
             DecodingTask(model, DecodingOptions(best_of=3, temperature=0.0))
         with pytest.raises(ValueError):
             DecodingTask(model, DecodingOptions(patience=2.0))
+
+
+class TestClipTimestamps:
+    def test_clip_restricts_window(self, model):
+        """clip_timestamps "a,b" transcribes only [a, b] seconds
+        (reference whisper.py:915-931)."""
+        audio = (np.random.RandomState(2).randn(16000 * 8) * 0.05
+                 ).astype(np.float32)
+        full = model.generate(audio, language="en", temperature=0.0,
+                              sample_len=8)
+        clipped = model.generate(audio, language="en", temperature=0.0,
+                                 sample_len=8, clip_timestamps="2,5")
+        assert len(clipped.segments) >= 1
+        assert all(seg["start"] >= 2.0 - 1e-6 for seg in clipped.segments)
+        # both parse; the clip runs over fewer frames
+        assert clipped.generation_tokens <= full.generation_tokens * 2
+
+    def test_multiple_clips(self, model):
+        audio = (np.random.RandomState(3).randn(16000 * 8) * 0.05
+                 ).astype(np.float32)
+        out = model.generate(audio, language="en", temperature=0.0,
+                             sample_len=8, clip_timestamps=[0.0, 2.0, 5.0])
+        assert isinstance(out.text, str)
+        # second clip is [5, end]: no segment starts in the (2, 5) gap
+        assert all(not (2.5 < seg["start"] < 4.9) for seg in out.segments)
+
+    def test_hallucination_threshold_accepted(self, model):
+        audio = (np.random.RandomState(4).randn(16000 * 4) * 0.05
+                 ).astype(np.float32)
+        out = model.generate(audio, language="en", temperature=0.0,
+                             sample_len=8, word_timestamps=True,
+                             hallucination_silence_threshold=2.0)
+        assert isinstance(out.text, str)
