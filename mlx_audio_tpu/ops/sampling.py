@@ -36,9 +36,15 @@ def top_k_top_p_filter(
     top_k: int = 0,
     top_p: float = 1.0,
     min_p: float = 0.0,
+    min_tokens_to_keep: int = 1,
 ) -> Array:
-    """Mask logits outside top-k / nucleus top-p / min-p to -inf. (B, V)."""
+    """Mask logits outside top-k / nucleus top-p / min-p to -inf. (B, V).
+
+    `min_tokens_to_keep` guarantees at least that many tokens survive the
+    p-filters (mlx_lm sampler parity — the reference threads it through
+    top_p/min_p, e.g. stt/models/qwen3_asr generate kwargs)."""
     vocab = logits.shape[-1]
+    unfiltered = logits
     if top_k and top_k < vocab:
         # lax.top_k beats a full sort in both compile time and runtime —
         # the kth-largest value is all the threshold needs
@@ -58,6 +64,10 @@ def top_k_top_p_filter(
             jnp.where(keep_sorted, sorted_logits, jnp.inf), axis=-1, keepdims=True
         )
         logits = jnp.where(logits < threshold, -jnp.inf, logits)
+    if min_tokens_to_keep > 1 and (min_p > 0.0 or top_p < 1.0):
+        nth = jax.lax.top_k(unfiltered,
+                            min(min_tokens_to_keep, vocab))[0][..., -1]
+        logits = jnp.where(unfiltered >= nth[..., None], unfiltered, logits)
     return logits
 
 
@@ -74,6 +84,7 @@ def make_sampler(
     top_p: float = 1.0,
     min_p: float = 0.0,
     repetition_penalty: float = 1.0,
+    min_tokens_to_keep: int = 1,
 ) -> Callable:
     """Build `sampler(key, logits, history=None) -> tokens` closed over the
     static sampling config (so it traces into the decode loop once)."""
@@ -85,7 +96,61 @@ def make_sampler(
         if temperature == 0.0:
             return jnp.argmax(lg, axis=-1).astype(jnp.int32)
         lg = lg / temperature
-        lg = top_k_top_p_filter(lg, top_k=top_k, top_p=top_p, min_p=min_p)
+        lg = top_k_top_p_filter(lg, top_k=top_k, top_p=top_p, min_p=min_p,
+                                min_tokens_to_keep=min_tokens_to_keep)
         return jax.random.categorical(key, lg, axis=-1).astype(jnp.int32)
 
     return sampler
+
+
+def make_token_selector(
+    temperature: float = 0.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
+    min_p: float = 0.0,
+    repetition_penalty: float = 1.0,
+    repetition_context_size: int = 20,
+    min_tokens_to_keep: int = 1,
+):
+    """In-loop sampled token selection for compiled AR decode while-loops.
+
+    Returns ``(init_hist, select, push)``:
+
+    - ``init_hist()`` → (1, ctx) int32 history buffer filled with -1 (pad),
+    - ``select(rng, logits, hist)`` → ``(tok scalar int32, rng')`` — applies
+      repetition penalty over ``hist`` then temperature/top-k/top-p/min-p
+      sampling (pure argmax when every knob is neutral, so the greedy decode
+      graph is unchanged),
+    - ``push(hist, tok, is_eos)`` → rolled history (-1 pushed on EOS).
+
+    One shared implementation for every LLM-decoder STT family (reference
+    threads mlx_lm's make_sampler/make_logits_processors kwargs through each
+    model's generate, e.g. stt/models/qwen3_asr/qwen3_asr.py,
+    stt/models/granite_speech/granite_speech.py).
+    """
+    neutral = temperature <= 0.0 and repetition_penalty == 1.0
+    sampler = make_sampler(
+        temperature=temperature, top_k=top_k, top_p=top_p, min_p=min_p,
+        min_tokens_to_keep=min_tokens_to_keep)
+
+    def init_hist() -> Array:
+        return jnp.full((1, max(int(repetition_context_size), 1)), -1,
+                        jnp.int32)
+
+    def select(rng: Array, logits: Array, hist: Array):
+        if neutral:
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)[0], rng
+        lg = apply_repetition_penalty(
+            logits.astype(jnp.float32), hist, repetition_penalty)
+        if temperature > 0.0:
+            rng, sub = jax.random.split(rng)
+            return sampler(sub, lg)[0], rng
+        return jnp.argmax(lg, axis=-1).astype(jnp.int32)[0], rng
+
+    def push(hist: Array, tok: Array, is_eos: Array) -> Array:
+        if neutral:
+            return hist
+        return jnp.roll(hist, -1, axis=1).at[:, -1].set(
+            jnp.where(is_eos, -1, tok))
+
+    return init_hist, select, push

@@ -292,8 +292,9 @@ class Model(FunctionalModel):
 
     # -------------------------------------------------------- compiled
 
-    def _fns(self, bucket: int, max_tokens: int):
-        key_ = (bucket, max_tokens)
+    def _fns(self, bucket: int, max_tokens: int,
+             temperature: float = 0.0):
+        key_ = (bucket, max_tokens, temperature)
         fns = self._jit_cache.get(key_)
         if fns is None:
             cfg = self.config
@@ -312,7 +313,8 @@ class Model(FunctionalModel):
                     < enc_len[:, None]
                 return enc, mask
 
-            def decode(p, enc, enc_mask, prompt, prompt_len, eos_id):
+            def decode(p, enc, enc_mask, prompt, prompt_len, eos_id,
+                       rng):
                 cap = prompt.shape[1] + max_tokens
                 ckv = cross_kv(p["decoder"], dec, enc)
                 caches = [KVCache.init(
@@ -326,24 +328,29 @@ class Model(FunctionalModel):
                 tokens0 = jnp.zeros((max_tokens,), jnp.int32)
 
                 def cond(st):
-                    i, _, _, _, done = st
+                    i, done = st[0], st[-1]
                     return jnp.logical_and(i < max_tokens,
                                            jnp.logical_not(done))
 
                 def body(st):
-                    i, lg, caches, toks, done = st
-                    nxt = jnp.argmax(lg[0]).astype(jnp.int32)
+                    i, lg, caches, toks, rng, done = st
+                    if temperature > 0.0:
+                        rng, sub = jax.random.split(rng)
+                        nxt = jax.random.categorical(
+                            sub, lg[0] / temperature).astype(jnp.int32)
+                    else:
+                        nxt = jnp.argmax(lg[0]).astype(jnp.int32)
                     is_eos = nxt == eos_id
                     toks = jnp.where(is_eos, toks, toks.at[i].set(nxt))
                     lg2, caches = decoder_forward(
                         p["decoder"], dec, nxt[None, None], enc_mask,
                         caches, ckv, prompt_len + i, pos_table)
-                    return (i + 1, lg2[:, 0], caches, toks,
+                    return (i + 1, lg2[:, 0], caches, toks, rng,
                             jnp.logical_or(done, is_eos))
 
-                i, _, _, toks, done = jax.lax.while_loop(
+                i, _, _, toks, _, done = jax.lax.while_loop(
                     cond, body, (jnp.int32(0), last, caches, tokens0,
-                                 jnp.bool_(False)))
+                                 rng, jnp.bool_(False)))
                 return toks, jnp.where(done, i - 1, i)
 
             fns = (jax.jit(encode), jax.jit(decode))
@@ -354,8 +361,12 @@ class Model(FunctionalModel):
 
     def generate(self, audio, *, max_tokens: int = 200,
                  source_lang: str = "en", target_lang: str = "en",
-                 use_pnc: bool = True, verbose: bool = False,
+                 use_pnc: bool = True, temperature: float = 0.0,
+                 seed: int = 0, stream: bool = False,
+                 verbose: bool = False,
                  **kwargs) -> STTOutput:
+        # stream: reference canary.py:169 "Not supported yet (returns
+        # STTOutput)" — same contract here
         language = kwargs.pop("language", None)
         if language:
             source_lang = target_lang = language
@@ -375,13 +386,14 @@ class Model(FunctionalModel):
                                "sentencepiece model beside the weights)")
         prompt = self._tokenizer.build_prompt_tokens(source_lang,
                                                      target_lang, use_pnc)
-        encode, decode = self._fns(tb, max_tokens)
+        encode, decode = self._fns(tb, max_tokens, float(temperature))
         enc, enc_mask = encode(self.params, jnp.asarray(mel_pad),
                                jnp.asarray([t]))
         toks, count = decode(self.params, enc, enc_mask,
                              jnp.asarray([prompt], jnp.int32),
                              jnp.int32(len(prompt)),
-                             jnp.int32(self._tokenizer.eos_id))
+                             jnp.int32(self._tokenizer.eos_id),
+                             jax.random.PRNGKey(seed))
         generated = np.asarray(toks)[: int(count)].tolist()
         text = self._tokenizer.decode(generated).strip()
         dt = time.time() - t0

@@ -368,11 +368,21 @@ class Model(FunctionalModel):
 
     # -------------------------------------------------------------- decode
 
-    def _lm_fns(self, pb: int, max_tokens: int):
-        key_ = ("lm", pb, max_tokens)
+    def _lm_fns(self, pb: int, max_tokens: int,
+                sampling: Tuple = (0.0, 0, 1.0, 0.0, 1.0, 20, 1)):
+        key_ = ("lm", pb, max_tokens, sampling)
         fns = self._jit_cache.get(key_)
         if fns is not None:
             return fns
+        from ....ops.sampling import make_token_selector
+
+        (temperature, top_k, top_p, min_p, repetition_penalty,
+         repetition_context_size, min_tokens_to_keep) = sampling
+        init_hist, select, push = make_token_selector(
+            temperature=temperature, top_k=top_k, top_p=top_p, min_p=min_p,
+            repetition_penalty=repetition_penalty,
+            repetition_context_size=repetition_context_size,
+            min_tokens_to_keep=min_tokens_to_keep)
         t = self.config.text
         cap = pb + max_tokens
         eos = jnp.asarray(EOS_IDS, jnp.int32)
@@ -404,28 +414,29 @@ class Model(FunctionalModel):
                                      pad)
             return logits[jnp.arange(1), length - 1], caches
 
-        def decode(p, lg, caches, plen):
+        def decode(p, lg, caches, plen, rng):
             toks0 = jnp.full((max_tokens,), -1, jnp.int32)
 
             def cond(st):
-                i, _, _, _, done = st
+                i, done = st[0], st[-1]
                 return jnp.logical_and(i < max_tokens,
                                        jnp.logical_not(done))
 
             def body(st):
-                i, lg, caches, toks, done = st
-                tok = jnp.argmax(lg, axis=-1).astype(jnp.int32)[0]
+                i, lg, caches, toks, hist, rng, done = st
+                tok, rng = select(rng, lg, hist)
                 is_eos = jnp.any(tok == eos)
                 toks = jnp.where(is_eos, toks, toks.at[i].set(tok))
+                hist = push(hist, tok, is_eos)
                 emb = apply_embedding(
                     p["llm"]["model"]["embed_tokens"], tok[None, None])
                 lg2, caches = forward(p, emb, caches, plen + i, None)
-                return (i + 1, lg2[:, 0], caches, toks,
+                return (i + 1, lg2[:, 0], caches, toks, hist, rng,
                         jnp.logical_or(done, is_eos))
 
-            _, _, _, toks, _ = jax.lax.while_loop(
-                cond, body, (jnp.int32(0), lg, caches, toks0,
-                             jnp.bool_(False)))
+            _, _, _, toks, _, _, _ = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), lg, caches, toks0, init_hist(),
+                             rng, jnp.bool_(False)))
             return toks
 
         fns = (jax.jit(prefill), jax.jit(decode))
@@ -433,8 +444,9 @@ class Model(FunctionalModel):
         return fns
 
     def _transcribe_chunk(self, audio: np.ndarray, *, max_tokens,
-                          language, hotwords, itn
-                          ) -> Tuple[str, int, int]:
+                          language, hotwords, itn,
+                          sampling=(0.0, 0, 1.0, 0.0, 1.0, 20, 1),
+                          rng=None) -> Tuple[str, int, int]:
         feats, speech_len, fake_len = self._extract_features(audio)
         adaptor_out = self.get_audio_embeds(feats, speech_len)
         ids, fbank_beg = self._build_prompt_ids(
@@ -448,10 +460,13 @@ class Model(FunctionalModel):
             jnp.asarray(tok_arr)))
         m = min(fake_len, adaptor_out.shape[0])
         embeds[0, fbank_beg: fbank_beg + m] = adaptor_out[:m]
-        prefill, decode = self._lm_fns(pb, max_tokens)
+        prefill, decode = self._lm_fns(pb, max_tokens, sampling)
         lg, caches = prefill(self.params, jnp.asarray(embeds),
                              jnp.int32(n))
-        toks = np.asarray(decode(self.params, lg, caches, jnp.int32(n)))
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        toks = np.asarray(decode(self.params, lg, caches, jnp.int32(n),
+                                 rng))
         generated = [int(x) for x in toks[toks >= 0]]
         text = (self._tokenizer.decode(generated,
                                        skip_special_tokens=True)
@@ -465,8 +480,17 @@ class Model(FunctionalModel):
                  context: Optional[str] = None, itn: bool = True,
                  chunk_duration: float = 1200.0,
                  min_chunk_duration: float = 1.0,
+                 temperature: float = 0.0, top_k: int = 0,
+                 top_p: float = 1.0, min_p: float = 0.0,
+                 repetition_penalty: float = 1.0,
+                 repetition_context_size: int = 20,
+                 min_tokens_to_keep: int = 1, seed: int = 0,
                  verbose: bool = False, **kwargs) -> STTOutput:
         t0 = time.time()
+        sampling = (float(temperature), int(top_k), float(top_p),
+                    float(min_p), float(repetition_penalty),
+                    int(repetition_context_size), int(min_tokens_to_keep))
+        rng = jax.random.PRNGKey(seed)
         max_tokens = int(max_tokens or self.config.default_max_tokens)
         hotwords = self._resolve_hotwords(hotwords, context)
         audio_input = audio[0] if isinstance(audio, list) else audio
@@ -484,9 +508,10 @@ class Model(FunctionalModel):
         for chunk_audio, offset_sec in chunks:
             if remaining <= 0:
                 break
+            rng, sub = jax.random.split(rng)
             text, p, g = self._transcribe_chunk(
                 chunk_audio, max_tokens=remaining, language=language,
-                hotwords=hotwords, itn=itn)
+                hotwords=hotwords, itn=itn, sampling=sampling, rng=sub)
             segments.append({
                 "text": text, "start": offset_sec,
                 "end": offset_sec + len(chunk_audio) / self.sample_rate,

@@ -257,15 +257,21 @@ class Model(FunctionalModel):
 
     # -------------------------------------------------------- LM pieces
 
-    def _lm_fns(self, bucket: int, max_tokens: int, temperature: float,
+    def _lm_fns(self, bucket: int, max_tokens: int, sampling,
                 eos_ids: Tuple[int, ...]):
-        key_ = ("lm", bucket, max_tokens, temperature, eos_ids)
+        key_ = ("lm", bucket, max_tokens, tuple(sampling), eos_ids)
         fns = self._jit_cache.get(key_)
         if fns is not None:
             return fns
         bc = _backbone_cfg(self.config.lm_config)
         cap = bucket + max_tokens
-        sampler = make_sampler(temperature=temperature)
+        (temperature, top_k, top_p, min_p, repetition_penalty,
+         repetition_context_size, min_tokens_to_keep) = sampling
+        sampler = make_sampler(temperature=temperature, top_k=top_k,
+                               top_p=top_p, min_p=min_p,
+                               min_tokens_to_keep=min_tokens_to_keep,
+                               repetition_penalty=repetition_penalty)
+        use_rep = repetition_penalty != 1.0
         eos = jnp.asarray(eos_ids, jnp.int32)
 
         def prefill(p, embeds, length):
@@ -285,11 +291,17 @@ class Model(FunctionalModel):
             return last[:, 0], caches
 
         def chunk(p, lg, caches, t0, rng, done):
+            hist0 = jnp.full((1, max(repetition_context_size, 1)), -1,
+                             jnp.int32)
+
             def body(carry, i):
-                lg, caches, key, done = carry
+                lg, caches, key, done, hist = carry
                 key, sub = jax.random.split(key)
-                tok = sampler(sub, lg).astype(jnp.int32)
+                tok = sampler(sub, lg, hist if use_rep else None) \
+                    .astype(jnp.int32)
                 done2 = jnp.logical_or(done, jnp.any(tok[0] == eos))
+                hist = jnp.concatenate([hist[:, 1:], tok[:, None]],
+                                       axis=1) if use_rep else hist
                 emb = apply_embedding(
                     p["language_model"]["model"]["embed_tokens"],
                     tok[:, None])
@@ -298,11 +310,12 @@ class Model(FunctionalModel):
                     offset=t0 + i)
                 lg2 = logits_from_hidden(p["language_model"], bc,
                                          hidden)[:, -1]
-                return (lg2, caches, key, done2), \
+                return (lg2, caches, key, done2, hist), \
                     jnp.where(done2, -1, tok[0])
 
-            (lg, caches, rng, done), toks = jax.lax.scan(
-                body, (lg, caches, rng, done), jnp.arange(DEC_CHUNK))
+            (lg, caches, rng, done, _), toks = jax.lax.scan(
+                body, (lg, caches, rng, done, hist0),
+                jnp.arange(DEC_CHUNK))
             return lg, caches, rng, done, toks
 
         fns = (jax.jit(prefill), jax.jit(chunk))
@@ -312,8 +325,10 @@ class Model(FunctionalModel):
     # ---------------------------------------------------------- decode
 
     def _transcribe_chunk(self, audio: np.ndarray, max_tokens: int,
-                          temperature: float, seed: int
+                          sampling, seed: int
                           ) -> Tuple[List[int], int]:
+        if isinstance(sampling, float):
+            sampling = (sampling, 0, 1.0, 0.0, 1.0, 20, 1)
         feats, n_audio = self.encode(audio)
         head = list(self._tokenizer.encode("<|user|>\n<|begin_of_audio|>"))
         tail = list(self._tokenizer.encode(
@@ -330,7 +345,7 @@ class Model(FunctionalModel):
             jnp.asarray(tok_ids)))
         embeds[0, len(head):len(head) + n_audio] = feats[0]
         eos = tuple(self.config.lm_config.eos_token_id)
-        prefill, chunk = self._lm_fns(pb, max_tokens, temperature, eos)
+        prefill, chunk = self._lm_fns(pb, max_tokens, sampling, eos)
         lg, caches = prefill(self.params, jnp.asarray(embeds),
                              jnp.asarray([n]))
         rng = jax.random.PRNGKey(seed)
@@ -348,12 +363,20 @@ class Model(FunctionalModel):
         return out[:max_tokens], n
 
     def generate(self, audio, *, max_tokens: int = 128,
-                 temperature: float = 0.0, chunk_duration: float = 30.0,
+                 temperature: float = 0.0, top_k: int = 0,
+                 top_p: float = 1.0, min_p: float = 0.0,
+                 repetition_penalty: float = 1.0,
+                 repetition_context_size: int = 20,
+                 min_tokens_to_keep: int = 1,
+                 chunk_duration: float = 30.0,
                  min_chunk_duration: float = 1.0, verbose: bool = False,
                  stream: bool = False, seed: int = 0, **kwargs):
+        sampling = (float(temperature), int(top_k), float(top_p),
+                    float(min_p), float(repetition_penalty),
+                    int(repetition_context_size), int(min_tokens_to_keep))
         if stream:
             return self.stream_transcribe(
-                audio, max_tokens=max_tokens, temperature=temperature,
+                audio, max_tokens=max_tokens, temperature=sampling,
                 chunk_duration=chunk_duration, seed=seed)
         if self._tokenizer is None:
             raise RuntimeError("glmasr needs its HF tokenizer (place "
@@ -367,7 +390,7 @@ class Model(FunctionalModel):
         p_tok = g_tok = 0
         for wav, off in chunks:
             toks, n_prompt = self._transcribe_chunk(
-                wav, max_tokens, temperature, seed)
+                wav, max_tokens, sampling, seed)
             text = self._tokenizer.decode(toks, skip_special_tokens=True)
             texts.append(text)
             p_tok += n_prompt

@@ -441,11 +441,21 @@ class Model(FunctionalModel):
 
     # -------------------------------------------------------------- decode
 
-    def _lm_fns(self, pb: int, max_tokens: int, eos_ids: Tuple[int, ...]):
-        key_ = ("lm", pb, max_tokens, eos_ids)
+    def _lm_fns(self, pb: int, max_tokens: int, eos_ids: Tuple[int, ...],
+                sampling: Tuple = (0.0, 0, 1.0, 0.0, 1.0, 20, 1)):
+        key_ = ("lm", pb, max_tokens, eos_ids, sampling)
         fns = self._jit_cache.get(key_)
         if fns is not None:
             return fns
+        from ....ops.sampling import make_token_selector
+
+        (temperature, top_k, top_p, min_p, repetition_penalty,
+         repetition_context_size, min_tokens_to_keep) = sampling
+        init_hist, select, push = make_token_selector(
+            temperature=temperature, top_k=top_k, top_p=top_p, min_p=min_p,
+            repetition_penalty=repetition_penalty,
+            repetition_context_size=repetition_context_size,
+            min_tokens_to_keep=min_tokens_to_keep)
         t = self.config.text
         cap = pb + max_tokens
         eos = jnp.asarray(eos_ids, jnp.int32)
@@ -461,28 +471,29 @@ class Model(FunctionalModel):
                 hidden[jnp.arange(1), length - 1][:, None])[:, 0]
             return lg, caches
 
-        def decode(p, lg, caches, plen):
+        def decode(p, lg, caches, plen, rng):
             toks0 = jnp.full((max_tokens,), -1, jnp.int32)
 
             def cond(st):
-                i, _, _, _, done = st
+                i, done = st[0], st[-1]
                 return jnp.logical_and(i < max_tokens,
                                        jnp.logical_not(done))
 
             def body(st):
-                i, lg, caches, toks, done = st
-                tok = jnp.argmax(lg, axis=-1).astype(jnp.int32)[0]
+                i, lg, caches, toks, hist, rng, done = st
+                tok, rng = select(rng, lg, hist)
                 is_eos = jnp.any(tok == eos)
                 toks = jnp.where(is_eos, toks, toks.at[i].set(tok))
+                hist = push(hist, tok, is_eos)
                 lg2, caches = decode_step(p["language_model"], t,
                                           tok[None, None], caches,
                                           plen + i)
-                return (i + 1, lg2, caches, toks,
+                return (i + 1, lg2, caches, toks, hist, rng,
                         jnp.logical_or(done, is_eos))
 
-            _, _, _, toks, _ = jax.lax.while_loop(
-                cond, body, (jnp.int32(0), lg, caches, toks0,
-                             jnp.bool_(False)))
+            _, _, _, toks, _, _, _ = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), lg, caches, toks0, init_hist(),
+                             rng, jnp.bool_(False)))
             return toks
 
         fns = (jax.jit(prefill), jax.jit(decode))
@@ -517,6 +528,11 @@ class Model(FunctionalModel):
     def generate(self, audio, *, max_tokens: int = 448,
                  prompt: Optional[str] = None,
                  language: Optional[str] = None, stream: bool = False,
+                 temperature: float = 0.0, top_k: int = 0,
+                 top_p: float = 1.0, min_p: float = 0.0,
+                 repetition_penalty: float = 1.0,
+                 repetition_context_size: int = 20,
+                 min_tokens_to_keep: int = 1, seed: int = 0,
                  verbose: bool = False, **kwargs
                  ) -> Union[STTOutput, Generator]:
         if prompt is None and language is not None:
@@ -528,10 +544,15 @@ class Model(FunctionalModel):
         t0 = time.time()
         ids, pb, embeds = self._prepare(audio, prompt)
         n = len(ids)
-        prefill, decode = self._lm_fns(pb, max_tokens, self._eos_ids())
+        sampling = (float(temperature), int(top_k), float(top_p),
+                    float(min_p), float(repetition_penalty),
+                    int(repetition_context_size), int(min_tokens_to_keep))
+        prefill, decode = self._lm_fns(pb, max_tokens, self._eos_ids(),
+                                       sampling)
         lg, caches = prefill(self.params, jnp.asarray(embeds),
                              jnp.int32(n))
-        toks = np.asarray(decode(self.params, lg, caches, jnp.int32(n)))
+        toks = np.asarray(decode(self.params, lg, caches, jnp.int32(n),
+                                 jax.random.PRNGKey(seed)))
         generated = [int(x) for x in toks[toks >= 0]]
         text = (self._tokenizer.decode(generated,
                                        skip_special_tokens=True)

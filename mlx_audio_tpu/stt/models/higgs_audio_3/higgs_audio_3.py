@@ -318,8 +318,14 @@ class Model(FunctionalModel):
         return re.sub(r"<\|.*?\|>", "", text).strip()
 
     def generate(self, audio, *, max_tokens: int = 1024,
-                 temperature: float = 0.0, prompt: str = DEFAULT_PROMPT,
-                 seed: int = 0, **kwargs) -> STTOutput:
+                 temperature: float = 0.0, top_k: int = 0,
+                 top_p: float = 1.0, min_p: float = 0.0,
+                 repetition_penalty: float = 1.0,
+                 repetition_context_size: int = 20,
+                 min_tokens_to_keep: int = 1,
+                 prompt: str = DEFAULT_PROMPT,
+                 seed: int = 0, verbose: bool = False,
+                 **kwargs) -> STTOutput:
         t0 = time.time()
         if isinstance(audio, list):
             audio = audio[0]
@@ -332,7 +338,9 @@ class Model(FunctionalModel):
         pb = prompt_bucket(prompt_len)
         padded = np.zeros((1, pb, embeds.shape[-1]), np.float32)
         padded[:, :prompt_len] = embeds
-        key_ = ("lm", pb, temperature)
+        key_ = ("lm", pb, temperature, top_k, top_p, min_p,
+                repetition_penalty, repetition_context_size,
+                min_tokens_to_keep)
         fns = self._jit_cache.get(key_)
         if fns is None:
             fns = make_decode_fns(
@@ -340,12 +348,18 @@ class Model(FunctionalModel):
                 lm_params=lambda p: p["language_model"],
                 logits_fn=lambda p, h: apply_linear(p["lm_head"], h),
                 forward_fn=self._lm_forward, bucket=pb,
-                temperature=temperature, eos_ids=(151645, 151643))
+                temperature=temperature, top_k=top_k, top_p=top_p,
+                min_p=min_p, min_tokens_to_keep=min_tokens_to_keep,
+                repetition_penalty=repetition_penalty,
+                repetition_context_size=repetition_context_size,
+                eos_ids=(151645, 151643))
             self._jit_cache[key_] = fns
         tokens = run_decode(self, fns, padded, prompt_len,
                             max_tokens=max_tokens, seed=seed)
         text = self.parse_output(self._tokenizer.decode(
             tokens, skip_special_tokens=False))
+        if verbose:
+            print(text)
         wall = time.time() - t0
         return STTOutput(
             text=text, segments=[{"start": 0.0, "end": wall, "text": text}],

@@ -302,10 +302,15 @@ def decode_step(params: dict, cfg: ModelConfig, token: Array, t: Array,
 
 
 def greedy_decode(params: dict, cfg: ModelConfig, enc: Array,
-                  enc_frames: Array, max_tokens: int) -> Tuple[Array, Array]:
-    """Whole greedy loop in one lax.while_loop. Returns (tokens, count) —
-    tokens excludes the start token; count is the number generated before
-    EOS."""
+                  enc_frames: Array, max_tokens: int,
+                  temperature: float = 0.0,
+                  rng: Optional[Array] = None) -> Tuple[Array, Array]:
+    """Whole decode loop in one lax.while_loop (greedy, or temperature
+    sampling when temperature > 0 — reference moonshine.py:392). Returns
+    (tokens, count) — tokens excludes the start token; count is the number
+    generated before EOS."""
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
     cross_kv = _cross_kv(params, cfg, enc)
     caches = [KVCache.init(enc.shape[0], max_tokens + 1,
                            cfg.decoder_num_key_value_heads, cfg.head_dim,
@@ -315,21 +320,27 @@ def greedy_decode(params: dict, cfg: ModelConfig, enc: Array,
     start = jnp.asarray([[cfg.decoder_start_token_id]], jnp.int32)
 
     def cond(state):
-        t, _, _, _, done = state
+        t, done = state[0], state[-1]
         return jnp.logical_and(t < max_tokens, jnp.logical_not(done))
 
     def body(state):
-        t, cur, tokens, caches, done = state
+        t, cur, tokens, caches, rng, done = state
         logits, caches = decode_step(params, cfg, cur, t, caches,
                                      cross_kv, enc_frames)
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        if temperature > 0.0:
+            rng, sub = jax.random.split(rng)
+            nxt = jax.random.categorical(
+                sub, logits / temperature, axis=-1).astype(jnp.int32)
+        else:
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         is_eos = nxt[0] == cfg.eos_token_id
         tokens = jnp.where(is_eos, tokens, tokens.at[t].set(nxt[0]))
-        return (t + 1, nxt[:, None], tokens, caches,
+        return (t + 1, nxt[:, None], tokens, caches, rng,
                 jnp.logical_or(done, is_eos))
 
-    t, _, tokens, _, done = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), start, tokens0, caches, jnp.bool_(False)))
+    t, _, tokens, _, _, done = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), start, tokens0, caches, rng,
+                     jnp.bool_(False)))
     count = jnp.where(done, t - 1, t)
     return tokens, count
 
@@ -362,18 +373,23 @@ class Model(FunctionalModel):
             self._jit_cache[("enc", bucket)] = fn
         return fn
 
-    def _decode_fn(self, bucket: int, max_tokens: int):
-        key = ("dec", bucket, max_tokens)
+    def _decode_fn(self, bucket: int, max_tokens: int,
+                   temperature: float = 0.0):
+        key = ("dec", bucket, max_tokens, temperature)
         fn = self._jit_cache.get(key)
         if fn is None:
             cfg = self.config
-            fn = jax.jit(lambda p, e, nf: greedy_decode(p, cfg, e, nf,
-                                                        max_tokens))
+            fn = jax.jit(lambda p, e, nf, rng: greedy_decode(
+                p, cfg, e, nf, max_tokens, temperature, rng))
             self._jit_cache[key] = fn
         return fn
 
     def generate(self, audio, *, max_tokens: int = 200,
+                 temperature: float = 0.0, seed: int = 0,
+                 stream: bool = False,
                  verbose: bool = False, **kwargs) -> STTOutput:
+        # stream: accepted for reference-signature compat
+        # (moonshine.py:358 — not supported there either)
         t0 = time.time()
         if isinstance(audio, (str, Path)):
             from ...utils import load_audio
@@ -385,8 +401,9 @@ class Model(FunctionalModel):
         wave[0, :n] = audio
         enc, frames = self._encode_fn(b)(self.params, jnp.asarray(wave),
                                          jnp.asarray([n]))
-        tokens, count = self._decode_fn(b, max_tokens)(self.params, enc,
-                                                       frames)
+        tokens, count = self._decode_fn(b, max_tokens,
+                                        float(temperature))(
+            self.params, enc, frames, jax.random.PRNGKey(seed))
         generated = np.asarray(tokens)[: int(count)].tolist()
         text = self._decode_tokens(generated)
         dt = time.time() - t0

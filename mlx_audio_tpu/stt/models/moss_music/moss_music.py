@@ -439,14 +439,20 @@ class Model(FunctionalModel):
         x = apply_rms_norm(p["language_model"]["norm"], x, tc.rms_norm_eps)
         return x, (new_caches if caches is not None else None)
 
-    def _lm_fns(self, bucket: int, temperature: float, n_ds: int):
-        key_ = ("lm", bucket, temperature, n_ds)
+    def _lm_fns(self, bucket: int, sampling, n_ds: int):
+        key_ = ("lm", bucket, tuple(sampling), n_ds)
         fns = self._jit_cache.get(key_)
         if fns is not None:
             return fns
         tc = self.config.language_config
         cap = bucket + 2048
-        sampler = make_sampler(temperature=temperature)
+        (temperature, top_k, top_p, min_p, repetition_penalty,
+         repetition_context_size, min_tokens_to_keep) = sampling
+        sampler = make_sampler(temperature=temperature, top_k=top_k,
+                               top_p=top_p, min_p=min_p,
+                               min_tokens_to_keep=min_tokens_to_keep,
+                               repetition_penalty=repetition_penalty)
+        use_rep = repetition_penalty != 1.0
         eos = jnp.asarray([self.config.eos_token_id], jnp.int32)
 
         def prefill(p, embeds, deepstack, length):
@@ -462,19 +468,26 @@ class Model(FunctionalModel):
             return apply_linear(p["lm_head"], last)[:, 0], caches
 
         def chunk(p, lg, caches, t0, rng, done):
+            hist0 = jnp.full((1, max(repetition_context_size, 1)), -1,
+                             jnp.int32)
+
             def body(carry, i):
-                lg, caches, key, done = carry
+                lg, caches, key, done, hist = carry
                 key, sub = jax.random.split(key)
-                tok = sampler(sub, lg).astype(jnp.int32)
+                tok = sampler(sub, lg, hist if use_rep else None) \
+                    .astype(jnp.int32)
                 done2 = jnp.logical_or(done, jnp.any(tok[0] == eos))
+                hist = jnp.concatenate([hist[:, 1:], tok[:, None]],
+                                       axis=1) if use_rep else hist
                 emb = apply_embedding(
                     p["language_model"]["embed_tokens"], tok[:, None])
                 hidden, caches = self._lm_forward(p, emb, caches, t0 + i)
                 return (apply_linear(p["lm_head"], hidden)[:, -1], caches,
-                        key, done2), jnp.where(done2, -1, tok[0])
+                        key, done2, hist), jnp.where(done2, -1, tok[0])
 
-            (lg, caches, rng, done), toks = jax.lax.scan(
-                body, (lg, caches, rng, done), jnp.arange(DEC_CHUNK))
+            (lg, caches, rng, done, _), toks = jax.lax.scan(
+                body, (lg, caches, rng, done, hist0),
+                jnp.arange(DEC_CHUNK))
             return lg, caches, rng, done, toks
 
         fns = (jax.jit(prefill), jax.jit(chunk))
@@ -483,7 +496,9 @@ class Model(FunctionalModel):
 
     def _decode(self, ids: List[int], audio: Optional[np.ndarray],
                 deepstack: Optional[List[np.ndarray]], max_tokens: int,
-                temperature: float, seed: int, on_token=None) -> List[int]:
+                sampling, seed: int, on_token=None) -> List[int]:
+        if isinstance(sampling, float):
+            sampling = (sampling, 0, 1.0, 0.0, 1.0, 20, 1)
         cfg = self.config
         n = len(ids)
         pb = next((b for b in PROMPT_BUCKETS if n <= b),
@@ -509,7 +524,7 @@ class Model(FunctionalModel):
                                   np.float32)
                 for i, d in enumerate(deepstack):
                     ds_pad[i, 0, pos] = d
-        prefill, chunk = self._lm_fns(pb, temperature, n_ds)
+        prefill, chunk = self._lm_fns(pb, sampling, n_ds)
         ds_arg = [jnp.asarray(ds_pad[i]) for i in range(n_ds)] \
             if ds_pad is not None else None
         lg, caches = prefill(self.params, jnp.asarray(embeds), ds_arg,
@@ -626,15 +641,24 @@ class Model(FunctionalModel):
         return wav.reshape(-1)
 
     def generate(self, audio=None, *, max_tokens: int = 1024,
-                 temperature: float = 0.0, prompt: Optional[str] = None,
+                 temperature: float = 0.0, top_k: int = 0,
+                 top_p: float = 1.0, min_p: float = 0.0,
+                 repetition_penalty: float = 1.0,
+                 repetition_context_size: int = 20,
+                 min_tokens_to_keep: int = 1,
+                 prompt: Optional[str] = None,
                  strip_thinking: Optional[bool] = None,
                  enable_time_marker: Optional[bool] = None,
-                 stream: bool = False, seed: int = 0, **kwargs
+                 stream: bool = False, seed: int = 0,
+                 verbose: bool = False, **kwargs
                  ) -> Union[STTOutput, Generator[StreamingResult, None,
                                                  None]]:
+        sampling = (float(temperature), int(top_k), float(top_p),
+                    float(min_p), float(repetition_penalty),
+                    int(repetition_context_size), int(min_tokens_to_keep))
         if stream:
             return self._stream(audio, max_tokens=max_tokens,
-                                temperature=temperature, prompt=prompt,
+                                temperature=sampling, prompt=prompt,
                                 enable_time_marker=enable_time_marker,
                                 seed=seed)
         t0 = time.time()
@@ -646,8 +670,10 @@ class Model(FunctionalModel):
             feats, ds, n_audio, duration = self.encode_audio(wav)
         ids = self._build_prompt_ids(prompt or self.config.default_prompt,
                                      n_audio, enable_time_marker)
-        gen = self._decode(ids, feats, ds, max_tokens, temperature, seed)
+        gen = self._decode(ids, feats, ds, max_tokens, sampling, seed)
         text = self._tokenizer.decode(gen, skip_special_tokens=True)
+        if verbose:
+            print(text)
         do_strip = self.config.strip_thinking if strip_thinking is None \
             else strip_thinking
         if do_strip:

@@ -373,15 +373,21 @@ class Model(FunctionalModel):
 
     # ------------------------------------------------------------ decode
 
-    def _lm_fns(self, bucket: int, temperature: float,
+    def _lm_fns(self, bucket: int, sampling,
                 eos_ids: Tuple[int, ...]):
-        key_ = ("lm", bucket, temperature, eos_ids)
+        key_ = ("lm", bucket, tuple(sampling), eos_ids)
         fns = self._jit_cache.get(key_)
         if fns is not None:
             return fns
         tc = self.config.text_config
         cap = bucket + 4096
-        sampler = make_sampler(temperature=temperature)
+        (temperature, top_k, top_p, min_p, repetition_penalty,
+         repetition_context_size, min_tokens_to_keep) = sampling
+        sampler = make_sampler(temperature=temperature, top_k=top_k,
+                               top_p=top_p, min_p=min_p,
+                               min_tokens_to_keep=min_tokens_to_keep,
+                               repetition_penalty=repetition_penalty)
+        use_rep = repetition_penalty != 1.0
         eos = jnp.asarray(eos_ids, jnp.int32)
 
         def logits_of(p, hidden):
@@ -403,21 +409,28 @@ class Model(FunctionalModel):
             return logits_of(p, last)[:, 0], caches
 
         def chunk(p, lg, caches, t0, rng, done):
+            hist0 = jnp.full((1, max(repetition_context_size, 1)), -1,
+                             jnp.int32)
+
             def body(carry, i):
-                lg, caches, key, done = carry
+                lg, caches, key, done, hist = carry
                 key, sub = jax.random.split(key)
-                tok = sampler(sub, lg).astype(jnp.int32)
+                tok = sampler(sub, lg, hist if use_rep else None) \
+                    .astype(jnp.int32)
                 done2 = jnp.logical_or(done, jnp.any(tok[0] == eos))
+                hist = jnp.concatenate([hist[:, 1:], tok[:, None]],
+                                       axis=1) if use_rep else hist
                 emb = apply_embedding(
                     p["model"]["language_model"]["embed_tokens"],
                     tok[:, None])
                 hidden, caches = qwen3_lm_forward(
                     p["model"]["language_model"], tc, emb, caches, t0 + i)
-                return (logits_of(p, hidden)[:, -1], caches, key, done2), \
-                    jnp.where(done2, -1, tok[0])
+                return (logits_of(p, hidden)[:, -1], caches, key, done2,
+                        hist), jnp.where(done2, -1, tok[0])
 
-            (lg, caches, rng, done), toks = jax.lax.scan(
-                body, (lg, caches, rng, done), jnp.arange(DEC_CHUNK))
+            (lg, caches, rng, done, _), toks = jax.lax.scan(
+                body, (lg, caches, rng, done, hist0),
+                jnp.arange(DEC_CHUNK))
             return lg, caches, rng, done, toks
 
         fns = (jax.jit(prefill), jax.jit(chunk))
@@ -433,8 +446,10 @@ class Model(FunctionalModel):
         return tuple(sorted(ids))
 
     def _decode(self, ids: List[int], audio_embeds: np.ndarray,
-                max_tokens: int, temperature: float, seed: int,
+                max_tokens: int, sampling, seed: int,
                 on_token=None) -> List[int]:
+        if isinstance(sampling, float):
+            sampling = (sampling, 0, 1.0, 0.0, 1.0, 20, 1)
         cfg = self.config
         n = len(ids)
         pb = next((b for b in PROMPT_BUCKETS if n <= b),
@@ -450,7 +465,7 @@ class Model(FunctionalModel):
                 f"Audio features and audio tokens do not match: "
                 f"tokens: {len(pos)}, features: {len(audio_embeds)}")
         embeds[0, pos] = audio_embeds
-        prefill, chunk = self._lm_fns(pb, temperature, self._eos_ids())
+        prefill, chunk = self._lm_fns(pb, sampling, self._eos_ids())
         lg, caches = prefill(self.params, jnp.asarray(embeds), jnp.int32(n))
         rng = jax.random.PRNGKey(seed)
         done = jnp.bool_(False)
@@ -499,20 +514,31 @@ class Model(FunctionalModel):
         return wav
 
     def generate(self, audio, *, max_tokens: int = 2048,
-                 temperature: float = 0.0, prompt: Optional[str] = None,
-                 stream: bool = False, seed: int = 0, **kwargs
+                 temperature: float = 0.0, top_k: int = 0,
+                 top_p: float = 1.0, min_p: float = 0.0,
+                 repetition_penalty: float = 1.0,
+                 repetition_context_size: int = 20,
+                 min_tokens_to_keep: int = 1,
+                 prompt: Optional[str] = None,
+                 stream: bool = False, seed: int = 0,
+                 verbose: bool = False, **kwargs
                  ) -> Union[STTOutput, Generator[StreamingResult, None,
                                                  None]]:
+        sampling = (float(temperature), int(top_k), float(top_p),
+                    float(min_p), float(repetition_penalty),
+                    int(repetition_context_size), int(min_tokens_to_keep))
         if stream:
             return self._stream(audio, max_tokens=max_tokens,
-                                temperature=temperature, prompt=prompt,
+                                temperature=sampling, prompt=prompt,
                                 seed=seed)
         t0 = time.time()
         wav = self._load_audio(audio)
         feats, n_audio, duration = self.encode_audio(wav)
         ids = self._build_prompt(n_audio, prompt)
-        gen = self._decode(ids, feats, max_tokens, temperature, seed)
+        gen = self._decode(ids, feats, max_tokens, sampling, seed)
         text = self._tokenizer.decode(gen, skip_special_tokens=True).strip()
+        if verbose:
+            print(text)
         wall = time.time() - t0
         return STTOutput(
             text=text, segments=self._parse_segments(text, duration),

@@ -300,15 +300,23 @@ class Model(FunctionalModel):
 
     # ------------------------------------------------------- LM compiled
 
-    def _lm_fns(self, bucket: int, max_tokens: int, temperature: float,
+    def _lm_fns(self, bucket: int, max_tokens: int, sampling,
                 eos_ids: Tuple[int, ...]):
-        key_ = ("lm", bucket, max_tokens, temperature, eos_ids)
+        if isinstance(sampling, float):
+            sampling = (sampling, 0, 1.0, 0.0, 1.0, 20, 1)
+        key_ = ("lm", bucket, max_tokens, tuple(sampling), eos_ids)
         fns = self._jit_cache.get(key_)
         if fns is not None:
             return fns
         t = self.config.text_config
         cap = bucket + max_tokens
-        sampler = make_sampler(temperature=temperature)
+        (temperature, top_k, top_p, min_p, repetition_penalty,
+         repetition_context_size, min_tokens_to_keep) = sampling
+        sampler = make_sampler(temperature=temperature, top_k=top_k,
+                               top_p=top_p, min_p=min_p,
+                               min_tokens_to_keep=min_tokens_to_keep,
+                               repetition_penalty=repetition_penalty)
+        use_rep = repetition_penalty != 1.0
         inv_freq = rope_freqs(t.head_dim, t.rope_theta)
         eos = jnp.asarray(eos_ids, jnp.int32)
 
@@ -342,20 +350,27 @@ class Model(FunctionalModel):
             return last[:, 0], caches
 
         def chunk(p, lg, caches, t0, rng, done):
+            hist0 = jnp.full((1, max(repetition_context_size, 1)), -1,
+                             jnp.int32)
+
             def body(carry, i):
-                lg, caches, key, done = carry
+                lg, caches, key, done, hist = carry
                 key, sub = jax.random.split(key)
-                tok = sampler(sub, lg).astype(jnp.int32)
+                tok = sampler(sub, lg, hist if use_rep else None) \
+                    .astype(jnp.int32)
                 is_eos = jnp.any(tok[0] == eos)
                 done2 = jnp.logical_or(done, is_eos)
+                hist = jnp.concatenate([hist[:, 1:], tok[:, None]],
+                                       axis=1) if use_rep else hist
                 emb = apply_embedding(p["model"]["embed_tokens"],
                                       tok[:, None])
                 lg2, caches = forward(p, emb, caches, t0 + i, None)
                 out = jnp.where(done2, -1, tok[0])
-                return (lg2[:, 0], caches, key, done2), out
+                return (lg2[:, 0], caches, key, done2, hist), out
 
-            (lg, caches, rng, done), toks = jax.lax.scan(
-                body, (lg, caches, rng, done), jnp.arange(DEC_CHUNK))
+            (lg, caches, rng, done, _), toks = jax.lax.scan(
+                body, (lg, caches, rng, done, hist0),
+                jnp.arange(DEC_CHUNK))
             return lg, caches, rng, done, toks
 
         fns = (jax.jit(prefill), jax.jit(chunk))
@@ -446,14 +461,22 @@ class Model(FunctionalModel):
         return out[:max_tokens], n
 
     def generate(self, audio, *, max_tokens: int = 8192,
-                 temperature: float = 0.0, language: Optional[str] = None,
+                 temperature: float = 0.0, top_k: int = 0,
+                 top_p: float = 1.0, min_p: float = 0.0,
+                 repetition_penalty: float = 1.0,
+                 repetition_context_size: int = 20,
+                 min_tokens_to_keep: int = 1,
+                 language: Optional[str] = None,
                  chunk_duration: float = 1200.0,
                  min_chunk_duration: float = 1.0, verbose: bool = False,
                  stream: bool = False, system_prompt: Optional[str] = None,
                  seed: int = 0, **kwargs) -> STTOutput:
+        sampling = (float(temperature), int(top_k), float(top_p),
+                    float(min_p), float(repetition_penalty),
+                    int(repetition_context_size), int(min_tokens_to_keep))
         if stream:
             return self.stream_transcribe(
-                audio, max_tokens=max_tokens, temperature=temperature,
+                audio, max_tokens=max_tokens, temperature=sampling,
                 language=language, chunk_duration=chunk_duration,
                 system_prompt=system_prompt, seed=seed)
         if self._tokenizer is None:
@@ -471,7 +494,7 @@ class Model(FunctionalModel):
             if remaining <= 0:
                 break
             toks, n_prompt = self._transcribe_chunk(
-                wav, language, remaining, temperature, system_prompt, seed)
+                wav, language, remaining, sampling, system_prompt, seed)
             text = self._tokenizer.decode(toks, skip_special_tokens=True)
             if language is None:
                 language, text = self.extract_language(text)

@@ -45,6 +45,8 @@ def make_decode_fns(
     temperature: float = 0.0,
     top_p: float = 1.0,
     top_k: int = 0,
+    min_p: float = 0.0,
+    min_tokens_to_keep: int = 1,
     eos_ids: Tuple[int, ...] = (),
     repetition_penalty: float = 1.0,
     repetition_context_size: int = 20,
@@ -60,7 +62,8 @@ def make_decode_fns(
     tc = text_config
     cap = bucket + max_new
     sampler = make_sampler(temperature=temperature, top_p=top_p,
-                           top_k=top_k,
+                           top_k=top_k, min_p=min_p,
+                           min_tokens_to_keep=min_tokens_to_keep,
                            repetition_penalty=repetition_penalty)
     eos = jnp.asarray(eos_ids or (0,), jnp.int32)
     has_eos = bool(eos_ids)

@@ -349,11 +349,19 @@ class Model(FunctionalModel):
     # -------------------------------------------------------------- decode
 
     def _lm_fns(self, pb: int, max_tokens: int,
-                repetition_penalty: float):
-        key_ = ("lm", pb, max_tokens, repetition_penalty)
+                repetition_penalty: float,
+                sampling: Tuple = (0.0, 0, 1.0, 0.0, 20, 1)):
+        key_ = ("lm", pb, max_tokens, repetition_penalty, sampling)
         fns = self._jit_cache.get(key_)
         if fns is not None:
             return fns
+        from ....ops.sampling import make_sampler
+
+        (temperature, top_k, top_p, min_p, repetition_context_size,
+         min_tokens_to_keep) = sampling
+        sampler = make_sampler(temperature=temperature, top_k=top_k,
+                               top_p=top_p, min_p=min_p,
+                               min_tokens_to_keep=min_tokens_to_keep)
         t = self.config.text
         cap = pb + max_tokens
         eos = jnp.asarray(EOS_IDS, jnp.int32)
@@ -370,21 +378,27 @@ class Model(FunctionalModel):
                 hidden[jnp.arange(1), length - 1][:, None])[:, 0]
             return lg, caches
 
-        def decode(p, lg, caches, plen):
+        def decode(p, lg, caches, plen, rng):
             toks0 = jnp.full((max_tokens,), -1, jnp.int32)
-            hist0 = jnp.full((1, REP_CONTEXT), -1, jnp.int32)
+            hist0 = jnp.full(
+                (1, max(REP_CONTEXT, repetition_context_size)), -1,
+                jnp.int32)
 
             def cond(st):
-                i, _, _, _, _, done = st
+                i, done = st[0], st[-1]
                 return jnp.logical_and(i < max_tokens,
                                        jnp.logical_not(done))
 
             def body(st):
-                i, lg, caches, toks, hist, done = st
+                i, lg, caches, toks, hist, rng, done = st
                 if repetition_penalty != 1.0:
                     lg = apply_repetition_penalty(lg, hist,
                                                   repetition_penalty)
-                tok = jnp.argmax(lg, axis=-1).astype(jnp.int32)[0]
+                if temperature > 0.0:
+                    rng, sub = jax.random.split(rng)
+                    tok = sampler(sub, lg)[0]
+                else:
+                    tok = jnp.argmax(lg, axis=-1).astype(jnp.int32)[0]
                 is_eos = jnp.any(tok == eos)
                 toks = jnp.where(is_eos, toks, toks.at[i].set(tok))
                 hist = jnp.roll(hist, -1, axis=-1).at[:, -1].set(tok)
@@ -396,12 +410,12 @@ class Model(FunctionalModel):
                     offset=plen + i)
                 lg2 = logits_from_hidden(p["language_model"], t,
                                          hidden)[:, -1]
-                return (i + 1, lg2, caches, toks, hist,
+                return (i + 1, lg2, caches, toks, hist, rng,
                         jnp.logical_or(done, is_eos))
 
-            _, _, _, toks, _, _ = jax.lax.while_loop(
+            _, _, _, toks, _, _, _ = jax.lax.while_loop(
                 cond, body, (jnp.int32(0), lg, caches, toks0, hist0,
-                             jnp.bool_(False)))
+                             rng, jnp.bool_(False)))
             return toks
 
         fns = (jax.jit(prefill), jax.jit(decode))
@@ -431,15 +445,23 @@ class Model(FunctionalModel):
                  sampling_rate: Optional[int] = None,
                  max_tokens: int = 8192,
                  repetition_penalty: Optional[float] = 1.0,
+                 temperature: float = 0.0, top_k: int = 0,
+                 top_p: float = 1.0, min_p: float = 0.0,
+                 repetition_context_size: int = 20,
+                 min_tokens_to_keep: int = 1, seed: int = 0,
                  verbose: bool = False, **kwargs) -> STTOutput:
         t0 = time.time()
         ids, pb, embeds = self._prepare(audio, context, sampling_rate)
         n = len(ids)
         rp = float(repetition_penalty or 1.0)
-        prefill, decode = self._lm_fns(pb, max_tokens, rp)
+        sampling = (float(temperature), int(top_k), float(top_p),
+                    float(min_p), int(repetition_context_size),
+                    int(min_tokens_to_keep))
+        prefill, decode = self._lm_fns(pb, max_tokens, rp, sampling)
         lg, caches = prefill(self.params, jnp.asarray(embeds),
                              jnp.int32(n))
-        toks = np.asarray(decode(self.params, lg, caches, jnp.int32(n)))
+        toks = np.asarray(decode(self.params, lg, caches, jnp.int32(n),
+                                 jax.random.PRNGKey(seed)))
         generated = [int(x) for x in toks[toks >= 0]]
         text = (self.tokenizer.decode(generated,
                                       skip_special_tokens=True)
