@@ -183,12 +183,14 @@ class Model(FunctionalModel):
         return flat.reshape(hidden.shape[0], c.audio_num_codebooks,
                             c.audio_codebook_size)
 
-    def _backbone_step(self, params, embeds, caches, offset, mask=None):
+    def _backbone_step(self, params, embeds, caches, offset, mask=None,
+                       positions=None):
         t = self.tc
         from ....ops.rope import rope_freqs
 
         x = embeds
-        positions = offset + jnp.arange(embeds.shape[1])[None, :]
+        if positions is None:
+            positions = offset + jnp.arange(embeds.shape[1])[None, :]
         inv_freq = rope_freqs(t.head_dim, t.rope_theta)
         new_caches = []
         for i in range(t.num_hidden_layers):
@@ -247,6 +249,63 @@ class Model(FunctionalModel):
                                                 pos)
                 return ((caches, h[:, -1], pos + 1, row_idx + 1, countdown3,
                          done2, key), (row, done2))
+
+            carry2, (rows, fins) = jax.lax.scan(step, carry, None,
+                                                length=chunk)
+            return carry2, rows, fins
+
+        return jax.jit(chunk_step)
+
+    def _make_batch_chunk_stepper(self, chunk: int, temperature: float,
+                                  top_k: int, top_p: float):
+        """Batched variant of the chunk stepper for left-padded prompts:
+        per-row pad widths drive a persistent attention mask and row-local
+        RoPE positions, so each row decodes exactly as it would alone
+        (parity: reference batch_generate model.py:547-735, which uses
+        BatchKVCache left-padding; here the pad mask + fixed-slot cache is
+        the TPU equivalent)."""
+        c = self.config
+        n = c.audio_num_codebooks
+        from ....ops.sampling import top_k_top_p_filter
+
+        def sample(k, lg):
+            lg = lg.astype(jnp.float32)
+            if temperature <= 1e-5 or top_k == 1:
+                return jnp.argmax(lg, axis=-1).astype(jnp.int32)
+            f = top_k_top_p_filter(lg / temperature, top_k=top_k,
+                                   top_p=top_p if 0.0 < top_p < 1.0 else 1.0)
+            return jax.random.categorical(k, f, axis=-1).astype(jnp.int32)
+
+        cols = jnp.arange(MAX_CACHE_LEN)[None, :]
+
+        def chunk_step(params, carry):
+            def step(cr, _):
+                (caches, hidden, pos, row_idx, countdown, done, key,
+                 pad_w) = cr
+                logits = self._audio_logits(params, hidden)
+                key, sub = jax.random.split(key)
+                keys = jax.random.split(sub, n)
+                row = jnp.stack([sample(keys[i], logits[:, i])
+                                 for i in range(n)], axis=-1)
+                cb = jnp.arange(n)[None, :]
+                row = jnp.where(cb > row_idx, c.audio_boc_token_id, row)
+                in_delay = row_idx < n
+                dec = (~in_delay) & (countdown >= 0)
+                countdown2 = jnp.where(dec, countdown - 1, countdown)
+                finished = dec & (countdown2 <= 0)
+                set_eoc = ((~in_delay) & (~dec)
+                           & (row[:, 0] == c.audio_eoc_token_id))
+                countdown3 = jnp.where(set_eoc, jnp.int32(n - 2), countdown2)
+                if n <= 2:
+                    finished = finished | set_eoc
+                done2 = done | finished
+                embed_next = self._embed_audio_row(params, row)[:, None]
+                attend = (cols >= pad_w[:, None]) & (cols <= pos)
+                h, caches = self._backbone_step(
+                    params, embed_next, caches, pos, mask=attend,
+                    positions=(pos - pad_w)[:, None])
+                return ((caches, h[:, -1], pos + 1, row_idx + 1, countdown3,
+                         done2, key, pad_w), (row, done2))
 
             carry2, (rows, fins) = jax.lax.scan(step, carry, None,
                                                 length=chunk)
@@ -534,3 +593,221 @@ class Model(FunctionalModel):
         last_h = h[jnp.arange(b), plen - 1]
         return (caches, last_h, plen, jnp.int32(0),
                 jnp.full((b,), -1, jnp.int32), jnp.zeros((b,), bool), key)
+
+    def _prefill_batch(self, params, embeds, pad_w, key):
+        """LEFT-padded prompt embeds (B, pb, D) -> batched decode carry.
+
+        pad_w (B,) is each row's left-pad width; every prompt ends at
+        column pb-1, so the per-row last hidden is simply h[:, -1]. RoPE
+        positions are row-local (col - pad_w) and the pad columns stay
+        masked for the whole decode (reference batch_generate left-padding,
+        model.py:650-663)."""
+        t = self.tc
+        b, pb, _ = embeds.shape
+        caches = [KVCache.init(b, MAX_CACHE_LEN, t.num_key_value_heads,
+                               t.head_dim, jnp.float32)
+                  for _ in range(t.num_hidden_layers)]
+        cols = jnp.arange(MAX_CACHE_LEN)[None, :]
+        col_ok = (cols >= pad_w[:, None]) & (cols < pb)      # (B, MAX)
+        # pad-position QUERIES must keep at least one finite score — a fully
+        # masked softmax row is NaN and 0*NaN poisons every later layer's
+        # cached values; let them attend anywhere (their outputs are unused)
+        pad_q = jnp.arange(pb)[None, :] < pad_w[:, None]     # (B, pb)
+        allowed = col_ok[:, None, :] | pad_q[:, :, None]     # (B, pb, MAX)
+        pad_mask = jnp.where(allowed, 0.0, -jnp.inf)[:, None, :, :]
+        positions = jnp.maximum(
+            jnp.arange(pb)[None, :] - pad_w[:, None], 0)
+        h, caches = self._backbone_step(params, embeds, caches, 0,
+                                        mask=pad_mask, positions=positions)
+        return (caches, h[:, -1], jnp.int32(pb), jnp.int32(0),
+                jnp.full((b,), -1, jnp.int32), jnp.zeros((b,), bool), key,
+                pad_w.astype(jnp.int32))
+
+    # -- batch generation (reference model.py:517-735) ------------------------
+
+    @staticmethod
+    def _normalize_batch_arg(name, value, batch_size: int) -> list:
+        if value is None:
+            return [None] * batch_size
+        if isinstance(value, (list, tuple)):
+            if len(value) != batch_size:
+                raise ValueError(
+                    f"{name} length ({len(value)}) must match texts length "
+                    f"({batch_size})")
+            return list(value)
+        return [value] * batch_size
+
+    def _normalize_batch_references(self, *, batch_size: int, ref_audio=None,
+                                    ref_text=None, references=None,
+                                    ref_audios=None, ref_texts=None,
+                                    ref_audio_codes=None,
+                                    ref_audio_codes_list=None) -> List[list]:
+        """Per-sequence reference lists (reference model.py:390-460): a
+        shared clone prompt is normalized once and fanned out; per-item
+        lists are normalized row by row."""
+        audio_items = self._normalize_batch_arg(
+            "ref_audios", ref_audios if ref_audios is not None else ref_audio,
+            batch_size)
+        text_items = self._normalize_batch_arg(
+            "ref_texts", ref_texts if ref_texts is not None else ref_text,
+            batch_size)
+
+        def all_equal(vals):
+            return all(isinstance(v, (str, int, float, bool, type(None)))
+                       for v in vals) and len(set(vals)) <= 1
+
+        if references is None and (
+                (ref_audios is None and ref_texts is None)
+                or (all_equal(audio_items) and all_equal(text_items))):
+            shared = self._normalize_references(
+                ref_audio=audio_items[0], ref_text=text_items[0],
+                ref_audio_codes=ref_audio_codes,
+                ref_audio_codes_list=ref_audio_codes_list)
+            return [shared] * batch_size
+        return [self._normalize_references(
+            ref_audio=audio_items[i], ref_text=text_items[i],
+            references=references, ref_audio_codes=ref_audio_codes,
+            ref_audio_codes_list=ref_audio_codes_list)
+            for i in range(batch_size)]
+
+    def supports_tts_batch(self, *, stream: bool = False,
+                           voice: Optional[str] = None,
+                           instruct: Optional[str] = None,
+                           speed: Optional[float] = 1.0,
+                           gender: Optional[str] = None,
+                           pitch: Optional[float] = 1.0,
+                           **kwargs) -> bool:
+        """Capability sniffing for the server batch router (reference
+        model.py:517-537)."""
+        del kwargs
+        if stream or voice is not None or instruct is not None:
+            return False
+        if gender not in (None, "male"):
+            return False
+        if speed not in (None, 1.0) or pitch not in (None, 1.0):
+            return False
+        return True
+
+    def supports_tts_continuous_batch(self, **kwargs) -> bool:
+        return self.supports_tts_batch(**kwargs)
+
+    def create_tts_batch_session(self, options=None):
+        from .continuous_batching import HiggsAudioV3BatchSession
+
+        return HiggsAudioV3BatchSession(self, options)
+
+    def batch_generate(self, texts, voices=None, instructs=None, speeds=None,
+                       genders=None, pitches=None, ref_audio=None,
+                       ref_text=None, references=None, ref_audios=None,
+                       ref_texts=None, ref_audio_codes=None,
+                       ref_audio_codes_list=None,
+                       max_new_tokens: Optional[int] = None,
+                       max_new_frames: Optional[int] = None,
+                       max_tokens: Optional[int] = None,
+                       temperature: float = 1.0,
+                       top_p: Optional[float] = None,
+                       top_k: Optional[int] = None,
+                       seed: Optional[int] = None,
+                       fade_in_ms: float = 30.0, fade_out_ms: float = 15.0,
+                       stream: bool = False, **kwargs):
+        """All sequences decode in ONE left-padded batch through the shared
+        compiled stepper (reference model.py:547-735; the reference shrinks
+        the batch as rows finish — on TPU the batch shape stays fixed and
+        finished rows ride along masked)."""
+        del kwargs
+        if stream:
+            raise NotImplementedError(
+                "Higgs Audio v3 batch streaming is not implemented.")
+        bsz = len(texts)
+        if bsz == 0:
+            return
+        t0 = time.time()
+        for nm, vals in (("voices", voices), ("instructs", instructs)):
+            for v in self._normalize_batch_arg(nm, vals, bsz):
+                if v is not None:
+                    raise ValueError(
+                        f"Higgs Audio v3 batch_generate does not support "
+                        f"{nm}")
+        for g in self._normalize_batch_arg("genders", genders, bsz):
+            if g not in (None, "male"):
+                raise ValueError(
+                    "Higgs Audio v3 batch_generate does not support gender")
+        for nm, vals in (("speeds", speeds), ("pitches", pitches)):
+            for v in self._normalize_batch_arg(nm, vals, bsz):
+                if v not in (None, 1.0):
+                    raise ValueError("Higgs Audio v3 batch_generate does "
+                                     "not support speed or pitch")
+        limit = int(max_new_tokens if max_new_tokens is not None
+                    else max_new_frames if max_new_frames is not None
+                    else max_tokens if max_tokens is not None else 2048)
+        refs_by_seq = self._normalize_batch_references(
+            batch_size=bsz, ref_audio=ref_audio, ref_text=ref_text,
+            references=references, ref_audios=ref_audios,
+            ref_texts=ref_texts, ref_audio_codes=ref_audio_codes,
+            ref_audio_codes_list=ref_audio_codes_list)
+
+        embeds_list, plens = [], []
+        for text, refs in zip(texts, refs_by_seq):
+            token_ids, segments = self.build_prompt(text, refs)
+            e = self._prompt_embeds(token_ids, segments)
+            embeds_list.append(e)
+            plens.append(e.shape[1])
+        pb = 1 << max(4, (max(plens) - 1).bit_length())
+        pad_w = np.asarray([pb - p for p in plens], np.int32)
+        batch = jnp.concatenate(
+            [jnp.pad(e, ((0, 0), (pb - e.shape[1], 0), (0, 0)))
+             for e in embeds_list], axis=0)
+
+        prefill = self._jit_cache.get(("bprefill", pb, bsz))
+        if prefill is None:
+            prefill = jax.jit(self._prefill_batch)
+            self._jit_cache[("bprefill", pb, bsz)] = prefill
+        carry = prefill(self.params, batch, jnp.asarray(pad_w),
+                        jax.random.PRNGKey(0 if seed is None else int(seed)))
+
+        tk = 0 if top_k is None else int(top_k)
+        tp = 0.0 if top_p is None else float(top_p)
+        skey = ("bchunk", CHUNK_ROWS, bsz, float(temperature), tk, tp)
+        st = self._jit_cache.get(skey)
+        if st is None:
+            st = self._make_batch_chunk_stepper(CHUNK_ROWS,
+                                                float(temperature), tk, tp)
+            self._jit_cache[skey] = st
+
+        all_rows, all_fins = [], []
+        n = 0
+        while n < limit:
+            carry, rows, fins = st(self.params, carry)
+            all_rows.append(np.asarray(rows))   # (chunk, B, N)
+            all_fins.append(np.asarray(fins))   # (chunk, B)
+            n += CHUNK_ROWS
+            if all_fins[-1][-1].all():
+                break
+        rows_np = np.concatenate(all_rows, axis=0)
+        fins_np = np.concatenate(all_fins, axis=0)
+        nb = self.config.audio_num_codebooks
+
+        from ..base import BatchGenerationResult
+
+        for b in range(bsz):
+            f = fins_np[:, b]
+            k = int(np.argmax(f)) + 1 if f.any() else rows_np.shape[0]
+            k = min(k, limit)
+            delayed = rows_np[:k, b]
+            codes = reverse_delay_pattern(delayed) \
+                if delayed.shape[0] >= nb else np.zeros((0, nb), np.int32)
+            codes = np.clip(codes, 0, self.config.audio_codebook_size - 3)
+            if self.codec is not None and len(codes):
+                audio = np.asarray(self.codec.decode(codes)).reshape(-1)
+            else:
+                audio = np.zeros((len(codes) * 1920,), np.float32)
+            audio = self._apply_fades(audio, fade_in_ms, fade_out_ms)
+            seg = time.time() - t0
+            dur = len(audio) / self.sample_rate
+            yield BatchGenerationResult(
+                audio=audio, sequence_idx=b, samples=len(audio),
+                sample_rate=self.sample_rate, token_count=int(k),
+                audio_duration=format_duration(dur),
+                processing_time_seconds=seg,
+                peak_memory_usage=peak_memory_gb(),
+                is_final_chunk=True)

@@ -200,3 +200,115 @@ class TestFades:
         assert out[0] == 0.0 and out[-1] == 0.0
         mid = len(out) // 2
         assert out[mid] == 1.0
+
+
+class TestBatchGenerate:
+    """batch_generate parity: each left-padded batch row must decode exactly
+    as it would alone (reference model.py:547-735)."""
+
+    def test_rows_match_solo_greedy(self, cloning_model):
+        m = cloning_model
+        texts = ["hello world", "a much longer sentence to force padding",
+                 "hi"]
+        limit = 24
+        batch = list(m.batch_generate(texts, temperature=0.0,
+                                      max_new_frames=limit))
+        assert len(batch) == 3
+        for r in batch:
+            solo = list(m.generate(texts[r.sequence_idx], temperature=0.0,
+                                   max_new_frames=limit))[0]
+            assert r.token_count == solo.token_count
+            assert len(np.asarray(r.audio)) == len(np.asarray(solo.audio))
+
+    def test_batched_rows_bitmatch_single_stepper(self, cloning_model):
+        """The left-padded batched stepper must emit the SAME greedy rows as
+        the single-sequence stepper — masks and row-local RoPE make padding
+        invisible."""
+        import jax
+        import jax.numpy as jnp
+        m = cloning_model
+        texts = ["hello world", "hi"]
+        embeds = []
+        for t in texts:
+            ids, segs = m.build_prompt(t)
+            embeds.append(m._prompt_embeds(ids, segs))
+        plens = [e.shape[1] for e in embeds]
+        pb = 1 << max(4, (max(plens) - 1).bit_length())
+        pad_w = jnp.asarray([pb - p for p in plens], jnp.int32)
+        batch = jnp.concatenate(
+            [jnp.pad(e, ((0, 0), (pb - e.shape[1], 0), (0, 0)))
+             for e in embeds], axis=0)
+        bc = m._prefill_batch(m.params, batch, pad_w, jax.random.PRNGKey(0))
+        bst = m._make_batch_chunk_stepper(8, 0.0, 0, 0.0)
+        _, brows, _ = bst(m.params, bc)
+        for i, (e, plen) in enumerate(zip(embeds, plens)):
+            spb = 1 << max(4, (plen - 1).bit_length())
+            se = jnp.pad(e, ((0, 0), (0, spb - plen), (0, 0)))
+            sc = m._prefill(m.params, se, jnp.int32(plen),
+                            jax.random.PRNGKey(0))
+            sst = m._make_chunk_stepper(8, 0.0, 0, 0.0)
+            _, srows, _ = sst(m.params, sc)
+            np.testing.assert_array_equal(np.asarray(brows)[:, i],
+                                          np.asarray(srows)[:, 0])
+
+    def test_validations(self, cloning_model):
+        m = cloning_model
+        with pytest.raises(ValueError, match="voices"):
+            list(m.batch_generate(["a", "b"], voices=["x", None]))
+        with pytest.raises(ValueError, match="speed"):
+            list(m.batch_generate(["a"], speeds=[2.0]))
+        with pytest.raises(ValueError, match="length"):
+            list(m.batch_generate(["a", "b"], ref_audios=["x"]))
+
+    def test_supports_tts_batch(self, model):
+        assert model.supports_tts_batch()
+        assert not model.supports_tts_batch(stream=True)
+        assert not model.supports_tts_batch(voice="belinda")
+        assert not model.supports_tts_batch(speed=1.5)
+        assert model.supports_tts_continuous_batch(gender="male")
+
+
+class TestContinuousSession:
+    def _item(self, rid, text):
+        from mlx_audio_tpu.tts.continuous import TTSBatchItem
+        return TTSBatchItem(request_id=rid, text=text)
+
+    def test_session_matches_solo(self, cloning_model):
+        from mlx_audio_tpu.tts.continuous import TTSBatchOptions
+        m = cloning_model
+        opts = TTSBatchOptions(max_batch_size=2, temperature=0.0,
+                               max_tokens=20)
+        sess = m.create_tts_batch_session(opts)
+        assert sess.idle and sess.available_slots == 2
+        sess.add(self._item("r1", "hello world"))
+        assert not sess.idle and sess.available_slots == 1
+        # staggered admission: second request joins mid-decode
+        events = []
+        for i in range(6):
+            events.extend(sess.step())
+        sess.add(self._item("r2", "hi"))
+        for _ in range(60):
+            events.extend(sess.step())
+            if sess.idle:
+                break
+        assert sess.idle
+        done = {e.request_id for e in events if e.kind == "done"}
+        assert done == {"r1", "r2"}
+        chunks = {e.request_id: e for e in events if e.kind == "chunk"}
+        for rid, text in (("r1", "hello world"), ("r2", "hi")):
+            solo = list(m.generate(text, temperature=0.0,
+                                   max_new_frames=opts.max_tokens))[0]
+            assert chunks[rid].token_count == solo.token_count, rid
+            assert len(np.asarray(chunks[rid].audio)) == \
+                len(np.asarray(solo.audio)), rid
+
+    def test_cancel(self, cloning_model):
+        from mlx_audio_tpu.tts.continuous import TTSBatchOptions
+        m = cloning_model
+        sess = m.create_tts_batch_session(
+            TTSBatchOptions(max_batch_size=2, temperature=0.0,
+                            max_tokens=12))
+        sess.add(self._item("c1", "hello"))
+        sess.step()
+        sess.cancel("c1")
+        assert sess.idle
