@@ -384,16 +384,21 @@ class Model(FunctionalModel):
 
     # ------------------------------------------------------------ compiled
 
-    def _prefill_fn(self, pb: int):
+    def _prefill_fn(self, pb: int, cache_len: int = MAX_CACHE_LEN):
         cfg = self.config
 
         def prefill(params, embeds, mask, plen, key):
             t = cfg.text
-            caches = [KVCache.init(1, MAX_CACHE_LEN,
+            # cache in the params' compute dtype and sized to this request's
+            # horizon: decode attention reads the whole fixed buffer every
+            # frame, so an always-4096 f32 cache would burn ~8x the HBM
+            # bandwidth a bf16 right-sized one does
+            kv_dtype = params["embed_tokens"]["weight"].dtype
+            caches = [KVCache.init(1, cache_len,
                                    t.num_key_value_heads, t.head_dim,
-                                   jnp.float32)
+                                   kv_dtype)
                       for _ in range(t.num_hidden_layers)]
-            pad = jnp.where(jnp.arange(MAX_CACHE_LEN) < plen, 0.0,
+            pad = jnp.where(jnp.arange(cache_len) < plen, 0.0,
                             -jnp.inf)[None, None, None, :]
             _, caches = higgs_forward(params, cfg, embeds, mask, caches, 0,
                                       pad_mask=pad)
@@ -476,7 +481,9 @@ class Model(FunctionalModel):
                                                    length=chunk)
             return carry2, frames, dones
 
-        return jax.jit(chunk_step)
+        # donate the carry: the KV caches alias in-place across chunk calls
+        # instead of double-buffering hundreds of MB per step
+        return jax.jit(chunk_step, donate_argnums=(1,))
 
     # ------------------------------------------------------------ generate
 
@@ -488,14 +495,18 @@ class Model(FunctionalModel):
                         sampling_warmup_frames: int = 0,
                         seed: int = 0) -> Iterator[np.ndarray]:
         """Yield delayed (chunk, K) frame blocks (frame 0 = AUDIO_INIT)."""
+        cfg = self.config
         plen = embeds.shape[1]
         pb = _bucket(plen)
+        cache_len = min(_bucket(pb + max_new_frames
+                                + cfg.audio_num_codebooks + CHUNK_FRAMES),
+                        MAX_CACHE_LEN)
         embeds = jnp.pad(embeds, ((0, 0), (0, pb - plen), (0, 0)))
         mask = jnp.pad(mask, ((0, 0), (0, pb - mask.shape[1])))
-        pf = self._jit_cache.get(("prefill", pb))
+        pf = self._jit_cache.get(("prefill", pb, cache_len))
         if pf is None:
-            pf = self._prefill_fn(pb)
-            self._jit_cache[("prefill", pb)] = pf
+            pf = self._prefill_fn(pb, cache_len)
+            self._jit_cache[("prefill", pb, cache_len)] = pf
         carry, frame0 = pf(self.params, embeds, mask, jnp.int32(plen),
                            jax.random.PRNGKey(seed))
         yield np.asarray(frame0)[None]
@@ -529,12 +540,27 @@ class Model(FunctionalModel):
                  stream: bool = False, streaming_interval: float = 0.64,
                  overlap_ms: float = 40.0, fade_in_ms: float = 30.0,
                  fade_out_ms: float = 15.0,
-                 seed: int = 0, verbose: bool = False, **kwargs
-                 ) -> Iterator[GenerationResult]:
+                 references=None, seed: int = 0, verbose: bool = False,
+                 **kwargs) -> Iterator[GenerationResult]:
         t0 = time.time()
         cfg = self.config
         if max_tokens is not None:
             max_new_frames = max_tokens
+        if references and ref_audio is None and ref_codes is None:
+            # the reference's `references=[...]` alias (its model.py accepts a
+            # list of {audio|path, text} dicts or bare audio paths); v2's
+            # prompt format conditions on a single reference, so take the
+            # first entry
+            ref = references[0] if isinstance(
+                references, (list, tuple)) else references
+            if isinstance(ref, dict):
+                ref_audio = next((ref[k] for k in
+                                  ("audio", "audio_path", "path", "ref_audio")
+                                  if ref.get(k) is not None), None)
+                ref_codes = ref.get("codes", ref_codes)
+                ref_text = ref.get("text", ref_text)
+            else:
+                ref_audio = ref
         if isinstance(ref_audio, (str, Path)):
             from ....utils import load_audio
 
@@ -655,7 +681,11 @@ class Model(FunctionalModel):
             sample_rate=self.sample_rate, segment_idx=seg,
             token_count=int(n_codes),
             audio_duration=format_duration(dur),
-            real_time_factor=round(dt / dur, 3) if dur > 0 else 0.0,
+            # reference flips convention per path: streaming chunks report
+            # audio/elapsed (model.py:346), the non-stream result reports
+            # elapsed/audio (model.py:264)
+            real_time_factor=(round(dur / dt, 3) if streaming and dt > 0
+                              else round(dt / dur, 3) if dur > 0 else 0.0),
             prompt={"tokens": int(n_codes),
                     "tokens-per-sec": round(n_codes / dt, 2) if dt else 0,
                     **({"codes": codes} if codes is not None else {})},

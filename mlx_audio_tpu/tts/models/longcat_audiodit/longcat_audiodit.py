@@ -475,7 +475,8 @@ class Model(FunctionalModel):
             audio=audio, samples=len(audio), sample_rate=sr,
             segment_idx=0, token_count=int(pred_latent.shape[1]),
             audio_duration=format_duration(dur),
-            real_time_factor=round(dur / dt, 3),
+            # reference reports processing/audio (longcat_audiodit.py:268)
+            real_time_factor=round(dt / max(dur, 1e-6), 3),
             prompt={"tokens": int(pred_latent.shape[1]),
                     "tokens-per-sec": round(pred_latent.shape[1] / dt, 2)},
             audio_samples={"samples": len(audio),

@@ -558,7 +558,8 @@ class Model(FunctionalModel):
             audio=audio, samples=len(audio), sample_rate=self.sample_rate,
             segment_idx=seg, token_count=token_count,
             audio_duration=format_duration(dur),
-            real_time_factor=round(dt / dur, 3) if dur > 0 else 0.0,
+            # reference reports audio/elapsed (pocket_tts.py:443-444)
+            real_time_factor=round(dur / dt, 3) if dt > 0 else 0.0,
             prompt={"tokens": token_count,
                     "tokens-per-sec": round(token_count / dt, 2)
                     if dt > 0 else 0},

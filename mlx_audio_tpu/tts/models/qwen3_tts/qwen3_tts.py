@@ -1146,7 +1146,9 @@ class Model(FunctionalModel):
             segment_idx=segment_idx,
             token_count=token_count,
             audio_duration=format_duration(dur),
-            real_time_factor=round(seg_time / dur, 3) if dur > 0 else 0.0,
+            # reference reports audio/elapsed for both chunks and the final
+            # result (qwen3_tts.py:1441,1554)
+            real_time_factor=round(dur / seg_time, 3) if seg_time > 0 else 0.0,
             prompt={"tokens": token_count,
                     "tokens-per-sec": round(token_count / seg_time, 2)
                     if seg_time > 0 else 0},

@@ -356,7 +356,8 @@ class Model(FunctionalModel):
                 audio=jnp.asarray(audio), samples=len(audio),
                 sample_rate=self.sample_rate, segment_idx=idx,
                 token_count=count, audio_duration=format_duration(dur),
-                real_time_factor=round(dur / dt, 2) if dt else 0.0,
+                # reference reports elapsed/audio (soprano.py:454-457)
+                real_time_factor=round(dt / dur, 2) if dur else 0.0,
                 prompt={"tokens": n,
                         "tokens-per-sec": round(n / dt, 2) if dt else 0},
                 audio_samples={"samples": len(audio),
