@@ -249,7 +249,8 @@ def bench_higgs_v2(bits=None):
 
         model.params = maybe_quantize_tree(
             model.params, group_size=64, bits=bits,
-            predicate=lambda path, w: model.model_quant_predicate(path, w))
+            predicate=lambda path, w: model.model_quant_predicate(path, w),
+            consume=True)
 
     t = cfg.text
     rng = np.random.RandomState(0)

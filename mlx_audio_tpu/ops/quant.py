@@ -236,6 +236,7 @@ def maybe_quantize_tree(
     predicate=None,
     path: str = "",
     mode: str = "affine",
+    consume: bool = False,
 ):
     """Recursively quantize every linear-like {'weight': (out,in)} leaf dict.
 
@@ -251,6 +252,12 @@ def maybe_quantize_tree(
     `scales`/`biases`) are unpacked into the native w_q layout instead of
     being (corruptly) re-quantized; embedding-like leaves are dequantized to
     dense so gather lookups stay simple.
+
+    consume=True frees each source weight's device buffer as soon as its
+    quantized form exists — without it, quantizing a 3B-class bf16 model
+    needs full-precision + quantized trees live at once (~18 GB), which
+    does not fit a 16 GB v5e. Only pass it when the input tree is being
+    replaced (the original params become unusable).
     """
     if isinstance(params, dict):
         if _is_prequantized_leaf(params):
@@ -285,11 +292,15 @@ def maybe_quantize_tree(
                     q = quantize_weight_fp(w, mode, gs)
                 rest = {k: v for k, v in params.items() if k != "weight"}
                 q.update(rest)
+                if consume:
+                    jax.block_until_ready(q)
+                    w.delete()
                 return q
             return params
         return {
             k: maybe_quantize_tree(v, group_size, bits, predicate,
-                                   f"{path}.{k}" if path else k, mode)
+                                   f"{path}.{k}" if path else k, mode,
+                                   consume)
             for k, v in params.items()
         }
     return params
