@@ -352,8 +352,12 @@ def bench_qwen3_batched(batch_sizes=(1, 4, 8)):
     frames = 100                                    # 8 s of 12.5 Hz audio
 
     def _run(bsz):
+        # right-size the session timeline: B prompts (~50 tokens each) +
+        # the frame budget; the decode step streams the whole buffer, so a
+        # 4096 default would burn 4x the KV bandwidth and OOM at b=8
         sess = model.create_tts_batch_session(TTSBatchOptions(
-            max_batch_size=bsz, max_tokens=frames, streaming_interval=0.4))
+            max_batch_size=bsz, max_tokens=frames, streaming_interval=0.4,
+            max_cache_len=1024))
         reqs = []
         t0 = time.perf_counter()
         for i in range(bsz):

@@ -25,6 +25,10 @@ class TTSBatchOptions:
     streaming_interval: float = 2.0
     voice: Optional[str] = None
     language: str = "auto"
+    # session KV-timeline capacity (None = implementation default). Decode
+    # attention streams the whole fixed buffer every frame, so right-sizing
+    # this to the deployment's horizon is a first-order throughput knob.
+    max_cache_len: Optional[int] = None
 
 
 @dataclass

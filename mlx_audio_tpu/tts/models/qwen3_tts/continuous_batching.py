@@ -45,18 +45,37 @@ class Qwen3TTSBatchSession:
         ) else jnp.float32
         from .talker import make_stacked_caches
 
+        # session timeline capacity: right-size it to the deployment's
+        # horizon — decode attention streams the whole fixed buffer every
+        # frame, and the batched buffer is the dominant HBM consumer
+        # (L x B x T x H x D x 2); max_cache_len=None keeps the 4096 default
+        self.cache_len = int(getattr(options, "max_cache_len", None)
+                             or MAX_SESSION_STEPS)
+        # frames advanced per compiled step() call: one device->host sync
+        # per chunk instead of 3+ per frame (each sync costs a full host
+        # round-trip; per-frame stepping was latency-bound, not math-bound)
+        self.frames_per_step = max(
+            1, min(int(options.streaming_interval * 12.5) or 8, 25))
         self.caches = make_stacked_caches(
-            tcfg.num_hidden_layers, self.B, MAX_SESSION_STEPS,
+            tcfg.num_hidden_layers, self.B, self.cache_len,
             tcfg.num_key_value_heads, tcfg.head_dim, self._dtype)
         d = tcfg.hidden_size
         self.embed = jnp.zeros((self.B, 1, d), self._dtype)
-        self.valid = jnp.zeros((self.B, MAX_SESSION_STEPS), bool)
+        self.valid = jnp.zeros((self.B, self.cache_len), bool)
         self.active = np.zeros(self.B, bool)
         self.finished = jnp.ones((self.B,), bool)
+        self.finished_np = np.ones(self.B, bool)
         self.history = jnp.full((self.B, HISTORY_LEN), -1, jnp.int32)
         self.key = jax.random.PRNGKey(0)
         self.t = 0  # global step offset
-        self.row_len = np.zeros(self.B, np.int64)
+        self.row_len = jnp.zeros((self.B,), jnp.int32)  # per-row RoPE pos
+        # per-row trailing text embeds live on device so the whole
+        # embed-advance runs inside the compiled multi-frame scan
+        self._tb = 16
+        self.trailing = jnp.zeros((self.B, self._tb, d), self._dtype)
+        self.t_idx = jnp.zeros((self.B,), jnp.int32)
+        self.t_len = jnp.zeros((self.B,), jnp.int32)
+        self.pad_embeds = jnp.zeros((self.B, d), self._dtype)
         self.requests: List[Optional[object]] = [None] * self.B
         self.codes: List[List[np.ndarray]] = [[] for _ in range(self.B)]
         self.codec_states = [None] * self.B
@@ -118,13 +137,18 @@ class Qwen3TTSBatchSession:
         model = self.model
         plen = input_embeds.shape[1]
         pb = 1 << max(4, (plen - 1).bit_length())
+        if self.t + pb + 1 + self.frames_per_step > self.cache_len:
+            raise RuntimeError(
+                f"session timeline exhausted (t={self.t}, cap="
+                f"{self.cache_len}): recycle the session or raise "
+                "TTSBatchOptions.max_cache_len")
         input_embeds = jnp.pad(
             input_embeds, ((0, 0), (0, pb - plen), (0, 0))).astype(self._dtype)
-        fn = model._jit_cache.get(("cb_admit", pb, self.B))
+        fn = model._jit_cache.get(("cb_admit", pb, self.B, self.cache_len))
         if fn is None:
             fn = jax.jit(self._admit_jit, static_argnames=("pb",),
                          donate_argnums=(1, 2, 3, 4, 5))
-            model._jit_cache[("cb_admit", pb, self.B)] = fn
+            model._jit_cache[("cb_admit", pb, self.B, self.cache_len)] = fn
         tb = trailing.shape[1]
         tbb = 1 << max(4, (tb - 1).bit_length())
         trailing = jnp.pad(trailing, ((0, 0), (0, tbb - tb), (0, 0)))
@@ -135,13 +159,33 @@ class Qwen3TTSBatchSession:
             jnp.int32(self.t), trailing.astype(self._dtype),
             jnp.int32(tb), pad_embed.astype(self._dtype),
             jax.random.fold_in(self.key, self.t + slot), pb=pb)
-        self._slot_trailing = getattr(self, "_slot_trailing", {})
-        self._slot_trailing[slot] = (trailing.astype(self._dtype), tb, 0)
-        self.codes[slot] = [np.asarray(first_codes)[None]]
-        self.row_len[slot] = plen
-        self.t += plen + 1
-        if bool(np.asarray(fin0)):
-            self._finish_slot(slot)
+        # device-side trailing state for the in-scan embed advance;
+        # t_idx starts at 1: _step0 consumed trailing[0] (matches the
+        # single-stream GenCarry.trailing_idx init, qwen3_tts.py:1136)
+        if tbb > self._tb:
+            self.trailing = jnp.pad(
+                self.trailing, ((0, 0), (0, tbb - self._tb), (0, 0)))
+            self._tb = tbb
+        self.trailing = self.trailing.at[slot].set(0.0).at[
+            slot, :trailing.shape[1]].set(trailing[0].astype(self._dtype))
+        self.t_idx = self.t_idx.at[slot].set(1)
+        self.t_len = self.t_len.at[slot].set(tb)
+        self.pad_embeds = self.pad_embeds.at[slot].set(
+            pad_embed.reshape(-1).astype(self._dtype))
+        # keep first_codes on device (fetched lazily at decode time) and
+        # assume not-finished: admission stays sync-free (each host sync
+        # costs a full round-trip). A pathological first-token EOS is still
+        # handled — the device-side `finished` is already set, the next
+        # chunk's trajectory reports it, and the slot retires then.
+        if hasattr(first_codes, "copy_to_host_async"):
+            first_codes.copy_to_host_async()
+        self.codes[slot] = [first_codes[None]]
+        self.row_len = self.row_len.at[slot].set(plen)
+        # next batched step writes this row's frame-1 KV at column t0+plen
+        # (contiguous with the splice; advancing plen+1 here would leave a
+        # hole column that the attend mask could never cover)
+        self.t += plen
+        self.finished_np[slot] = False
 
     def _admit_jit(self, params, caches, embed, valid, finished, history,
                    prompt_embeds, plen, slot, t0, trailing, tlen, pad_embed,
@@ -176,19 +220,23 @@ class Qwen3TTSBatchSession:
             hidden[jnp.arange(1), plen - 1], small, trailing, tlen,
             pad_embed, plen, key, temperature=self.options.temperature,
             top_k=self.options.top_k, top_p=self.options.top_p)
-        # place the next-input embed + mark position t0+plen valid
+        # place the next-input embed; step0 only samples from prefill
+        # logits (no new KV): the first frame token's KV is written by the
+        # next batched step at global column t0+plen, contiguously after
+        # the prompt splice.
         embed = embed.at[slot].set(carry1.embed[0])
-        valid = valid.at[slot, t0 + plen].set(True)
-        # ... and write the kv produced by step0? step0 only samples from
-        # prefill logits; no new kv beyond the prompt. The sampled frame's
-        # token kv is written by the next batched step.
         finished = finished.at[slot].set(fin[0])
         history = history.at[slot].set(
             jnp.full((HISTORY_LEN,), -1, jnp.int32))
         history = history.at[slot, -1].set(first_codes[0])
         return caches, embed, valid, finished, history, first_codes, fin[0]
 
-    def _make_step(self):
+    def _make_step(self, k_frames: int):
+        """ONE compiled program advancing k_frames for every slot: talker
+        forward + code predictor + history/validity bookkeeping + the
+        trailing-text embed advance, all inside a lax.scan. The host pays a
+        single device sync per chunk (the packed codes+finished fetch)
+        instead of 3+ per frame."""
         model = self.model
         tcfg, cpcfg = model.tcfg, model.cpcfg
         opts = self.options
@@ -207,158 +255,180 @@ class Qwen3TTSBatchSession:
                                     top_p=opts.top_p)
             return jax.random.categorical(k, lg, axis=-1).astype(jnp.int32)
 
-        def step(params, caches, embed, valid, finished, history, t,
-                 row_len, key):
-            b = embed.shape[0]
-            # each row attends to its own valid positions + the token being
-            # written at global cache column t; RoPE uses row-local positions
-            attend = valid.at[:, t].set(True)
-            logits, hidden, caches = talker_forward(
-                params["talker"], tcfg, embed, caches, t,
-                lengths_mask=attend, positions=row_len[:, None])
-            lg = logits[:, -1] + suppress
-            if opts.repetition_penalty != 1.0:
-                lg = apply_repetition_penalty(lg, history,
-                                              opts.repetition_penalty)
-            key, k0 = jax.random.split(key)
-            tok0 = sample(k0, lg)
-            cp = params["talker"]["code_predictor"]
-            emb_fn = lambda ids: apply_embedding(
-                params["talker"]["model"]["codec_embedding"], ids)
-            cp_codes, _, key = code_predictor_sample(
-                cp, cpcfg, hidden[:, -1:], emb_fn(tok0[:, None]), key,
-                sample, n_groups)
-            all_codes = jnp.concatenate([tok0[:, None], cp_codes], axis=-1)
-            now_fin = finished | (tok0 == eos)
-            history = jnp.where(
-                finished[:, None], history,
-                jnp.roll(history, -1, axis=-1).at[:, -1].set(tok0))
-            valid = valid.at[:, t].set(valid[:, t] | ~finished)
-            return (caches, all_codes, now_fin, history, valid, key)
-
-        return jax.jit(step, donate_argnums=(1,))
-
-    def step(self) -> List[TTSBatchEvent]:
-        """One batched decode step + per-slot codec streaming."""
-        if self.idle:
-            return []
-        model = self.model
-        fn = model._jit_cache.get(("cb_step", self.B, self.options.temperature,
-                                   self.options.top_k, self.options.top_p,
-                                   self.options.repetition_penalty))
-        if fn is None:
-            fn = self._make_step()
-            model._jit_cache[("cb_step", self.B, self.options.temperature,
-                              self.options.top_k, self.options.top_p,
-                              self.options.repetition_penalty)] = fn
-        (self.caches, all_codes, now_fin, self.history, self.valid,
-         self.key) = fn(model.params, self.caches, self.embed, self.valid,
-                        self.finished, self.history, jnp.int32(self.t),
-                        jnp.asarray(self.row_len, jnp.int32), self.key)
-        self.row_len += (~np.asarray(self.finished)).astype(np.int64)
-        # next-input embeds must advance per row (trailing text embeds)
-        self._advance_embeds(all_codes)
-        prev_fin = np.asarray(self.finished)
-        self.finished = now_fin
-        fin_np = np.asarray(now_fin)
-        codes_np = np.asarray(all_codes)
-        self.t += 1
-        events: List[TTSBatchEvent] = []
-        chunk_frames = max(int(self.options.streaming_interval * 12.5), 4)
-        for slot in range(self.B):
-            if not self.active[slot]:
-                continue
-            if not prev_fin[slot] and not fin_np[slot]:
-                self.codes[slot].append(codes_np[slot][None])
-            n_valid = sum(c.shape[0] for c in self.codes[slot])
-            req = self.requests[slot]
-            if fin_np[slot] and not prev_fin[slot] or \
-                    n_valid - self.decoded[slot] >= chunk_frames:
-                audio = self._decode_slot(slot, n_valid)
-                if audio is not None and len(audio) and req is not None:
-                    req.emit_data({
-                        "audio": audio, "sample_rate": model.sample_rate,
-                        "is_final": bool(fin_np[slot])})
-                    events.append(TTSBatchEvent(
-                        request_id=getattr(req, "request_id", str(slot)),
-                        kind="chunk", audio=audio,
-                        sample_rate=model.sample_rate, token_count=n_valid))
-            if fin_np[slot] and not prev_fin[slot]:
-                self._finish_slot(slot)
-                events.append(TTSBatchEvent(
-                    request_id=getattr(req, "request_id", str(slot))
-                    if req else str(slot), kind="done"))
-            elif n_valid >= self.options.max_tokens:
-                audio = self._decode_slot(slot, n_valid)
-                if audio is not None and len(audio) and req is not None:
-                    req.emit_data({"audio": audio,
-                                   "sample_rate": model.sample_rate,
-                                   "is_final": True})
-                self.finished = self.finished.at[slot].set(True)
-                self._finish_slot(slot)
-        return events
-
-    def _advance_embeds(self, all_codes) -> None:
-        """Build each row's next input embed = trailing text + codec sum."""
-        model = self.model
-        fn = model._jit_cache.get(("cb_embed", self.B))
-        if fn is None:
-            from ....nn import apply_embedding
-
-            def embed_fn(params, codes, trailing, t_idx, t_len, pad_embed):
-                cp_emb = params["talker"]["code_predictor"]["model"][
-                    "codec_embedding"]["weight"]  # (G-1, V, D)
-                codec_e = apply_embedding(
-                    params["talker"]["model"]["codec_embedding"],
-                    codes[:, 0:1])
-                # vectorized per-group gather: sum_g cp_emb[g][codes[:,g+1]]
-                g1 = model.tcfg.num_code_groups - 1
-                gathered = jax.vmap(
-                    lambda tbl, ids: tbl[ids], in_axes=(0, 1),
-                    out_axes=1)(cp_emb, codes[:, 1:g1 + 1])  # (B, G-1, D)
-                codec_e = codec_e + gathered.sum(axis=1, keepdims=True)
-                tb = trailing.shape[1]
-                idx = jnp.minimum(t_idx, tb - 1)
+        def chunk(params, caches, embed, valid, finished, history, t,
+                  row_len, trailing, t_idx, t_len, pad_embeds, key):
+            def one_frame(carry, _):
+                (caches, embed, valid, finished, history, t, row_len,
+                 t_idx, key) = carry
+                # each row attends to its own valid positions + the token
+                # written at global column t; RoPE uses row-local positions
+                attend = valid.at[:, t].set(True)
+                logits, hidden, caches = talker_forward(
+                    params["talker"], tcfg, embed, caches, t,
+                    lengths_mask=attend, positions=row_len[:, None])
+                lg = logits[:, -1] + suppress
+                if opts.repetition_penalty != 1.0:
+                    lg = apply_repetition_penalty(lg, history,
+                                                  opts.repetition_penalty)
+                key, k0 = jax.random.split(key)
+                tok0 = sample(k0, lg)
+                cp = params["talker"]["code_predictor"]
+                emb_fn = lambda ids: apply_embedding(
+                    params["talker"]["model"]["codec_embedding"], ids)
+                code0_embed = emb_fn(tok0[:, None])
+                cp_codes, cp_emb_sum, key = code_predictor_sample(
+                    cp, cpcfg, hidden[:, -1:], code0_embed, key,
+                    sample, n_groups)
+                all_codes = jnp.concatenate([tok0[:, None], cp_codes],
+                                            axis=-1)
+                now_fin = finished | (tok0 == eos)
+                history = jnp.where(
+                    finished[:, None], history,
+                    jnp.roll(history, -1, axis=-1).at[:, -1].set(tok0))
+                valid = valid.at[:, t].set(valid[:, t] | ~finished)
+                # next-input embed: per-row trailing text + codec embeds
+                idx = jnp.minimum(t_idx, trailing.shape[1] - 1)
                 text_e = jnp.take_along_axis(
                     trailing, idx[:, None, None].repeat(
-                        trailing.shape[-1], -1), axis=1)
+                        trailing.shape[-1], -1), axis=1)  # (B, 1, D)
                 text_e = jnp.where((t_idx < t_len)[:, None, None], text_e,
-                                   pad_embed)
-                return text_e + codec_e
+                                   pad_embeds[:, None, :])
+                embed = (text_e + code0_embed
+                         + cp_emb_sum).astype(embed.dtype)
+                row_len = row_len + (~finished).astype(row_len.dtype)
+                new_carry = (caches, embed, valid, now_fin, history, t + 1,
+                             row_len, t_idx + 1, key)
+                return new_carry, (all_codes, now_fin)
 
-            fn = jax.jit(embed_fn)
-            model._jit_cache[("cb_embed", self.B)] = fn
-        # assemble per-slot trailing state into batch tensors
-        d = model.tcfg.hidden_size
-        tb_max = max((tr.shape[1] for tr, _, _ in
-                      getattr(self, "_slot_trailing", {}).values()),
-                     default=16)
-        trailing = jnp.zeros((self.B, tb_max, d), self._dtype)
-        t_idx = np.zeros(self.B, np.int32)
-        t_len = np.zeros(self.B, np.int32)
-        pad = jnp.zeros((1, 1, d), self._dtype)
-        for slot, (tr, ln, idx) in getattr(self, "_slot_trailing",
-                                           {}).items():
-            trailing = trailing.at[slot, : tr.shape[1]].set(
-                tr[0].astype(self._dtype))
-            t_idx[slot] = idx
-            t_len[slot] = ln
-            self._slot_trailing[slot] = (tr, ln, idx + 1)
-        self.embed = fn(model.params, all_codes, trailing,
-                        jnp.asarray(t_idx), jnp.asarray(t_len), pad)
+            carry = (caches, embed, valid, finished, history, t, row_len,
+                     t_idx, key)
+            carry, (codes, fins) = jax.lax.scan(one_frame, carry, None,
+                                                length=k_frames)
+            (caches, embed, valid, finished, history, t, row_len,
+             t_idx, key) = carry
+            # pack (K, B, G) codes + (K, B) finished into one int32 fetch
+            packed = jnp.concatenate(
+                [codes, fins[..., None].astype(jnp.int32)], axis=-1)
+            return (caches, embed, valid, finished, history, row_len,
+                    t_idx, key, packed)
 
-    def _decode_slot(self, slot: int, n_valid: int) -> Optional[np.ndarray]:
+        return jax.jit(chunk, donate_argnums=(1,))
+
+    def _dispatch_decode(self, slot: int, n_valid: int):
+        """Dispatch slot's codec decode; returns the device array (the
+        host fetch happens later so slot decodes overlap on device)."""
         model = self.model
         if n_valid <= self.decoded[slot]:
             return None
-        block = np.concatenate(self.codes[slot], axis=0)[
+        block = np.concatenate(
+            [np.asarray(c) for c in self.codes[slot]], axis=0)[
             self.decoded[slot]: n_valid]
         codes = jnp.asarray(block.T[None])
         fn = model._get_stream_decoder(codes.shape[-1])
         self.codec_states[slot], audio = fn(model.params,
                                             self.codec_states[slot], codes)
         self.decoded[slot] = n_valid
-        return np.asarray(audio[0])
+        return audio[0]
+
+    def step(self) -> List[TTSBatchEvent]:
+        """One compiled multi-frame chunk + per-slot codec streaming."""
+        if self.idle:
+            return []
+        model = self.model
+        k_frames = self.frames_per_step
+        if self.t + k_frames > self.cache_len:
+            # timeline exhausted: flush + finish everything still active
+            events: List[TTSBatchEvent] = []
+            for slot in range(self.B):
+                if not self.active[slot]:
+                    continue
+                req = self.requests[slot]
+                n_valid = sum(c.shape[0] for c in self.codes[slot])
+                audio_dev = self._dispatch_decode(slot, n_valid)
+                if audio_dev is not None and req is not None:
+                    req.emit_data({"audio": np.asarray(audio_dev),
+                                   "sample_rate": model.sample_rate,
+                                   "is_final": True})
+                self.finished = self.finished.at[slot].set(True)
+                self.finished_np[slot] = True
+                self._finish_slot(slot)
+                events.append(TTSBatchEvent(
+                    request_id=getattr(req, "request_id", str(slot))
+                    if req else str(slot), kind="done"))
+            return events
+        key = ("cb_step", self.B, k_frames, self._tb, self.cache_len,
+               self.options.temperature, self.options.top_k,
+               self.options.top_p, self.options.repetition_penalty)
+        fn = model._jit_cache.get(key)
+        if fn is None:
+            fn = self._make_step(k_frames)
+            model._jit_cache[key] = fn
+        (self.caches, self.embed, self.valid, self.finished, self.history,
+         self.row_len, self.t_idx, self.key, packed) = fn(
+            model.params, self.caches, self.embed, self.valid,
+            self.finished, self.history, jnp.int32(self.t), self.row_len,
+            self.trailing, self.t_idx, self.t_len, self.pad_embeds,
+            self.key)
+        packed_np = np.asarray(packed)          # the chunk's one device sync
+        g = model.tcfg.num_code_groups
+        codes_np = packed_np[..., :g]           # (K, B, G)
+        fin_traj = packed_np[..., g].astype(bool)
+        # finished state at the START of each frame (frame 0 = pre-chunk)
+        starts = np.vstack([self.finished_np[None], fin_traj[:-1]])
+        prev_fin = self.finished_np
+        self.finished_np = fin_traj[-1].copy()
+        self.t += k_frames
+        events = []
+        pending: List[tuple] = []               # (slot, req, final, audio)
+        to_finish: List[tuple] = []             # (slot, req)
+        for slot in range(self.B):
+            if not self.active[slot]:
+                continue
+            req = self.requests[slot]
+            n_before = sum(c.shape[0] for c in self.codes[slot])
+            keep = ~starts[:, slot] & ~fin_traj[:, slot]
+            allowed = max(0, self.options.max_tokens - n_before)
+            block = codes_np[keep, slot][:allowed]
+            if len(block):
+                self.codes[slot].append(block)
+            n_valid = n_before + len(block)
+            newly_fin = fin_traj[-1, slot] and not prev_fin[slot]
+            hit_max = n_valid >= self.options.max_tokens
+            if newly_fin or hit_max or \
+                    n_valid - self.decoded[slot] >= k_frames:
+                audio_dev = self._dispatch_decode(slot, n_valid)
+                if audio_dev is not None:
+                    pending.append((slot, req, newly_fin or hit_max,
+                                    audio_dev))
+            if hit_max and not fin_traj[-1, slot]:
+                self.finished = self.finished.at[slot].set(True)
+                self.finished_np[slot] = True
+            if newly_fin or hit_max:
+                to_finish.append((slot, req))
+        # fetch all slot decodes after dispatching them: issue every D2H
+        # copy asynchronously first so the host pays ~one round-trip total
+        # instead of one per slot
+        for _, _, _, audio_dev in pending:
+            if hasattr(audio_dev, "copy_to_host_async"):
+                audio_dev.copy_to_host_async()
+        for slot, req, final, audio_dev in pending:
+            audio = np.asarray(audio_dev)
+            if len(audio) and req is not None:
+                req.emit_data({"audio": audio,
+                               "sample_rate": model.sample_rate,
+                               "is_final": bool(final)})
+                events.append(TTSBatchEvent(
+                    request_id=getattr(req, "request_id", str(slot)),
+                    kind="chunk", audio=audio,
+                    sample_rate=model.sample_rate,
+                    token_count=self.decoded[slot]))
+        # retire finishing slots only after their final audio was emitted
+        for slot, req in to_finish:
+            self._finish_slot(slot)
+            events.append(TTSBatchEvent(
+                request_id=getattr(req, "request_id", str(slot))
+                if req else str(slot), kind="done"))
+        return events
 
     def _finish_slot(self, slot: int) -> None:
         req = self.requests[slot]
@@ -371,8 +441,10 @@ class Qwen3TTSBatchSession:
             self.requests[slot].emit_done()
         self.active[slot] = False
         self.requests[slot] = None
-        self.row_len[slot] = 0
+        self.row_len = self.row_len.at[slot].set(0)
         self.valid = self.valid.at[slot].set(False)
         self.finished = self.finished.at[slot].set(True)
+        self.finished_np[slot] = True
+        self.t_len = self.t_len.at[slot].set(0)
         self.codec_states[slot] = None
         self.codes[slot] = []

@@ -53,11 +53,13 @@ class TestContinuousSession:
         sess = model.create_tts_batch_session(
             TTSBatchOptions(max_batch_size=2, max_tokens=16,
                             streaming_interval=0.4))
+        # streaming_interval 0.4 s @ 12.5 Hz -> 5 frames per compiled step
+        assert sess.frames_per_step == 5
         r1 = _req(10, 25)
         sess.submit(r1)
         assert not sess.idle
         assert sess.available_slots == 1
-        for _ in range(5):
+        for _ in range(2):       # 1 (step0) + 2x5 frames = 11 < max_tokens
             sess.step()
         r2 = _req(30, 42)
         sess.submit(r2)
@@ -93,3 +95,36 @@ class TestContinuousSession:
         kinds, _ = _drain(r)
         assert "error" in kinds and kinds[-1] == "done"
         assert sess.idle
+
+
+class TestSessionParity:
+    def test_greedy_session_matches_single_stream(self, model):
+        """temperature=0: the batched session's audio must exactly match the
+        single-stream compiled stepper (pins the KV-splice column layout,
+        row-local RoPE, trailing-embed advance and pad-embed handling)."""
+        text_ids = np.arange(10, 26)[None]
+        single = np.concatenate([
+            np.asarray(r.audio)
+            for r in model.generate(text_ids=text_ids, temperature=0.0,
+                                    repetition_penalty=1.0, max_tokens=12,
+                                    stream=True, streaming_interval=0.4)])
+
+        sess = model.create_tts_batch_session(
+            TTSBatchOptions(max_batch_size=2, max_tokens=12,
+                            temperature=0.0, repetition_penalty=1.0,
+                            streaming_interval=0.4))
+        req = _req(10, 26)
+        sess.submit(req)
+        for _ in range(30):
+            sess.step()
+            if sess.idle:
+                break
+        assert sess.idle
+        kinds, payloads = _drain(req)
+        assert kinds[-1] == "done"
+        batched = np.concatenate(
+            [p["audio"] for p in payloads if p and "audio" in p])
+        n = min(len(single), len(batched))
+        assert n > 0
+        np.testing.assert_allclose(batched[:n], single[:n],
+                                   rtol=2e-2, atol=2e-3)
