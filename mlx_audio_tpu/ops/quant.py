@@ -66,13 +66,20 @@ def qmatmul(params: dict, x: Array) -> Array:
 
     Formulated so the whole dequant fuses into the dot's operand stream:
     the big matrix sees only a u8->compute-dtype cast and one multiply by
-    the repeated per-group scale (XLA/Mosaic fuse both into the matmul's
-    HBM->MXU pipeline, so the dense weight never materializes and the step
-    streams ~1 byte/weight); the group-bias term factors out exactly as a
-    tiny (ng -> out) dot against the per-group activation sums. Measured on
-    v5e at (8192x3072, gs=64, B=1): ~1.7x faster than the bf16 dense
-    matvec and ~1.9x faster than the previous grouped-einsum form, within
-    ~13% of the 1-byte/weight bandwidth floor.
+    the repeated per-group scale (fused into the matmul's HBM->MXU
+    pipeline — the dense weight never materializes in HBM); the group-bias
+    term factors out exactly as a tiny (ng -> out) dot against the
+    per-group activation sums.
+
+    v5e reality check (8192x3072, gs=64, B=1, 512-step scan): this runs at
+    ~0.066 ms/matvec — the SAME wall clock as the bf16 dense matvec,
+    because the VPU dequant throughput (~380G weights/s for cast+mul) and
+    the HBM bf16 streaming rate (757 GB/s = 380G bf16 weights/s) coincide
+    on this chip. Affine-q8 decode is therefore VPU-bound, not
+    bandwidth-bound: its win is the 2x weight footprint (and HBM headroom
+    for batching/KV), not single-stream latency. A native int8 MXU path
+    measured 2x SLOWER (XLA lowers int8 matvecs poorly), and grouped-
+    einsum / expanded-repeat variants are all within noise of each other.
     """
     out_f, in_f = params["w_q"].shape
     ng = params["scales"].shape[1]

@@ -486,21 +486,38 @@ class AudioServer:
                                     model_name=model_name, payload=text,
                                     normalized_kwargs=kwargs, stream=stream)
         if stream:
+            # peek the first payload so the sample rate can ride a header
+            # (progressive PCM playback in a client needs it before audio)
+            gen = _drain_handle(handle)
+            first = None
+            try:
+                first = await gen.__anext__()
+            except StopAsyncIteration:
+                return web.json_response({"error": "no audio generated"},
+                                         status=500)
+            except Exception as e:
+                return web.json_response({"error": str(e)}, status=500)
             resp = web.StreamResponse(headers={
                 "Content-Type": "audio/wav" if response_format == "wav"
                 else "application/octet-stream",
-                "Transfer-Encoding": "chunked"})
+                "Transfer-Encoding": "chunked",
+                "X-Sample-Rate": str(first.get("sample_rate", 24000))})
             await resp.prepare(request)
+
+            async def _emit(payload):
+                audio = payload["audio"]
+                if response_format == "pcm":
+                    pcm = np.clip(np.round(audio * 32768.0), -32768,
+                                  32767).astype("<i2").tobytes()
+                    await resp.write(pcm)
+                else:
+                    await resp.write(
+                        _encode_wav(audio, payload["sample_rate"]))
+
             try:
-                async for payload in _drain_handle(handle):
-                    audio = payload["audio"]
-                    if response_format == "pcm":
-                        pcm = np.clip(np.round(audio * 32768.0), -32768,
-                                      32767).astype("<i2").tobytes()
-                        await resp.write(pcm)
-                    else:
-                        await resp.write(
-                            _encode_wav(audio, payload["sample_rate"]))
+                await _emit(first)
+                async for payload in gen:
+                    await _emit(payload)
             except Exception as e:
                 await resp.write(json.dumps({"error": str(e)}).encode())
             await resp.write_eof()

@@ -57,6 +57,7 @@ HISTORY_LEN = 64
 FIRST_CHUNK = 8
 CHUNK_TOKENS = 25
 PROMPT_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048)
+CACHE_BUCKETS = (256, 512, 1024, 2048, 4096)
 
 
 def _bucket(n, buckets):
@@ -568,19 +569,23 @@ class Model(FunctionalModel):
         mask[tcfg.codec_eos_token_id] = 0.0
         return mask
 
-    def _make_prefill(self, pb: int):
+    def _make_prefill(self, pb: int, cache_len: int = MAX_CACHE_LEN):
         tcfg = self.tcfg
 
         def prefill(params, embeds, plen):
             b = embeds.shape[0]
+            # cache sized to this request's horizon: decode attention
+            # streams the whole fixed buffer every frame, so an
+            # always-4096 cache burns ~8x the KV bandwidth a right-sized
+            # one does on short requests
             caches = make_stacked_caches(
-                tcfg.num_hidden_layers, b, MAX_CACHE_LEN,
+                tcfg.num_hidden_layers, b, cache_len,
                 tcfg.num_key_value_heads, tcfg.head_dim, embeds.dtype)
             mask = jnp.where(jnp.arange(pb)[None] < plen, 0.0, -jnp.inf)
             # right-padded prompt: mask pad keys via additive mask on prefill
-            pad_mask = jnp.zeros((b, MAX_CACHE_LEN))
+            pad_mask = jnp.zeros((b, cache_len))
             pad_mask = pad_mask.at[:, :pb].set(mask)
-            pad_mask = jnp.where(jnp.arange(MAX_CACHE_LEN)[None] >= pb,
+            pad_mask = jnp.where(jnp.arange(cache_len)[None] >= pb,
                                  -jnp.inf, pad_mask)[:, None, None, :]
             logits, hidden, caches = talker_forward(
                 params["talker"], tcfg, embeds, caches, 0,
@@ -816,10 +821,12 @@ class Model(FunctionalModel):
         tb = _bucket(tl, PROMPT_BUCKETS)
         trailing = jnp.pad(trailing, ((0, 0), (0, tb - tl), (0, 0)))
 
-        prefill = self._jit_cache.get(("prefill", pb))
+        cache_len = min(_bucket(pb + max_tokens + CHUNK_TOKENS,
+                                CACHE_BUCKETS), MAX_CACHE_LEN)
+        prefill = self._jit_cache.get(("prefill", pb, cache_len))
         if prefill is None:
-            prefill = self._make_prefill(pb)
-            self._jit_cache[("prefill", pb)] = prefill
+            prefill = self._make_prefill(pb, cache_len)
+            self._jit_cache[("prefill", pb, cache_len)] = prefill
         logits0, hidden0, caches = prefill(self.params, input_embeds,
                                            jnp.int32(plen))
 

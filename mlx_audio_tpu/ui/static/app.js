@@ -28,7 +28,7 @@ themeToggle.addEventListener("click", () =>
 
 // ---------------------------------------------------------------- router
 
-const pages = ["tts", "stt", "realtime", "separation"];
+const pages = ["tts", "stt", "realtime", "separation", "models"];
 function route() {
   const page = (location.hash.replace("#/", "") || "tts");
   for (const p of pages) {
@@ -157,19 +157,79 @@ function renderHistory() {
   }
 }
 
+// Progressive playback of a chunked PCM16 stream: decode each fetch chunk
+// into an AudioBuffer and schedule it back-to-back on a WebAudio clock.
+async function playPcmStream(resp, status) {
+  const sr = Number(resp.headers.get("X-Sample-Rate") || 24000);
+  const ctx = new (window.AudioContext || window.webkitAudioContext)(
+    { sampleRate: sr });
+  analyser = ctx.createAnalyser();
+  analyser.fftSize = 256;
+  analyser.connect(ctx.destination);
+  const reader = resp.body.getReader();
+  let playT = ctx.currentTime + 0.05;
+  let leftover = new Uint8Array(0);
+  const parts = [];
+  let first = true;
+  const t0 = performance.now();
+  for (;;) {
+    const { done, value } = await reader.read();
+    if (done) break;
+    if (first) {
+      status.textContent =
+        `first audio in ${((performance.now() - t0) / 1000).toFixed(2)}s…`;
+      first = false;
+    }
+    let bytes = value;
+    if (leftover.length) {
+      bytes = new Uint8Array(leftover.length + value.length);
+      bytes.set(leftover); bytes.set(value, leftover.length);
+    }
+    const n = bytes.length & ~1;
+    leftover = bytes.slice(n);
+    if (!n) continue;
+    parts.push(bytes.slice(0, n));
+    const i16 = new Int16Array(bytes.buffer.slice(0, n));
+    const f32 = Float32Array.from(i16, (v) => v / 32768);
+    const buf = ctx.createBuffer(1, f32.length, sr);
+    buf.copyToChannel(f32, 0);
+    const src = ctx.createBufferSource();
+    src.buffer = buf;
+    src.connect(analyser);
+    playT = Math.max(playT, ctx.currentTime + 0.02);
+    src.start(playT);
+    playT += buf.duration;
+  }
+  // assemble a WAV for the download link / history
+  const total = parts.reduce((a, p) => a + p.length, 0);
+  const wav = new Uint8Array(44 + total);
+  const dv = new DataView(wav.buffer);
+  const wr = (off, s) => { for (let i = 0; i < s.length; i++) wav[off + i] = s.charCodeAt(i); };
+  wr(0, "RIFF"); dv.setUint32(4, 36 + total, true); wr(8, "WAVEfmt ");
+  dv.setUint32(16, 16, true); dv.setUint16(20, 1, true);
+  dv.setUint16(22, 1, true); dv.setUint32(24, sr, true);
+  dv.setUint32(28, sr * 2, true); dv.setUint16(32, 2, true);
+  dv.setUint16(34, 16, true); wr(36, "data"); dv.setUint32(40, total, true);
+  let off = 44;
+  for (const p of parts) { wav.set(p, off); off += p.length; }
+  return new Blob([wav], { type: "audio/wav" });
+}
+
 $("tts-generate").addEventListener("click", async () => {
   const status = $("tts-status");
   status.className = "status";
   status.textContent = "generating…";
   $("tts-generate").disabled = true;
   try {
+    const streaming = $("tts-stream").checked;
     const body = {
       model: $("tts-model").value.trim(),
       input: $("tts-text").value,
       speed: Number($("tts-speed").value),
       temperature: Number($("tts-temp").value),
-      response_format: "wav",
+      response_format: streaming ? "pcm" : "wav",
     };
+    if (streaming) { body.stream = true; body.streaming_interval = 0.5; }
     if ($("tts-voice").value) body.voice = $("tts-voice").value;
     const r = await fetch(`${API}/v1/audio/speech`, {
       method: "POST",
@@ -177,7 +237,7 @@ $("tts-generate").addEventListener("click", async () => {
       body: JSON.stringify(body),
     });
     if (!r.ok) throw new Error((await r.json()).error || r.statusText);
-    const blob = await r.blob();
+    const blob = streaming ? await playPcmStream(r, status) : await r.blob();
     const url = URL.createObjectURL(blob);
     ttsAudio.src = url;
     attachAnalyser(ttsAudio);
@@ -308,6 +368,64 @@ function b64ToBlobUrl(b64, mime = "audio/wav") {
   for (let i = 0; i < bin.length; i++) bytes[i] = bin.charCodeAt(i);
   return URL.createObjectURL(new Blob([bytes], { type: mime }));
 }
+
+// --------------------------------------------------------------- models
+
+async function refreshModels() {
+  try {
+    const r = await fetch(`${API}/v1/models`);
+    const data = await r.json();
+    const rows = data.data || [];
+    const tbody = $("mdl-table").querySelector("tbody");
+    tbody.innerHTML = "";
+    $("mdl-empty").hidden = rows.length > 0;
+    $("mdl-table").hidden = rows.length === 0;
+    for (const m of rows) {
+      const tr = document.createElement("tr");
+      const td = document.createElement("td");
+      td.textContent = m.id;
+      const td2 = document.createElement("td");
+      const btn = document.createElement("button");
+      btn.textContent = "Unload";
+      btn.addEventListener("click", async () => {
+        btn.disabled = true;
+        await fetch(`${API}/v1/models/${encodeURIComponent(m.id)}`,
+                    { method: "DELETE" });
+        refreshModels();
+      });
+      td2.appendChild(btn);
+      tr.append(td, td2);
+      tbody.appendChild(tr);
+    }
+  } catch { /* server offline */ }
+}
+refreshModels();
+setInterval(refreshModels, 15000);
+
+$("mdl-load").addEventListener("click", async () => {
+  const status = $("mdl-status");
+  const name = $("mdl-name").value.trim();
+  status.className = "status";
+  if (!name) { status.textContent = "enter a model id"; return; }
+  status.textContent = "loading… (first load downloads + compiles)";
+  $("mdl-load").disabled = true;
+  try {
+    const r = await fetch(`${API}/v1/models`, {
+      method: "POST",
+      headers: { "Content-Type": "application/json" },
+      body: JSON.stringify({ model: name }),
+    });
+    const data = await r.json();
+    if (!r.ok) throw new Error(data.error || r.statusText);
+    status.textContent = "loaded";
+    refreshModels();
+  } catch (e) {
+    status.className = "status err";
+    status.textContent = `error: ${e.message}`;
+  } finally {
+    $("mdl-load").disabled = false;
+  }
+});
 
 $("sep-run").addEventListener("click", async () => {
   const status = $("sep-status");

@@ -325,6 +325,43 @@ class TestEndpoints:
 
         _run(go())
 
+    def test_tts_pcm_streaming_with_sample_rate_header(self):
+        """stream=true + response_format=pcm: chunked int16 PCM with the
+        sample rate in X-Sample-Rate (progressive-playback contract used by
+        the studio UI's Stream toggle)."""
+        async def go():
+            from aiohttp.test_utils import TestClient, TestServer
+
+            server = _make_client_app()
+
+            class ChunkTTS:
+                sample_rate = 22050
+
+                def generate(self, text, stream=False, **kwargs):
+                    assert stream
+                    for i in range(3):
+                        t = np.linspace(0, 0.1, 2205)
+                        yield _FakeResult(audio=(0.2 * np.sin(
+                            2 * np.pi * (300 + 100 * i) * t)).astype(
+                                np.float32), sample_rate=22050)
+
+            server.provider._models["chunk-tts"] = ChunkTTS()
+            async with TestClient(TestServer(server.app)) as client:
+                r = await client.post("/v1/audio/speech", json={
+                    "model": "chunk-tts", "input": "stream me",
+                    "stream": True, "response_format": "pcm"})
+                assert r.status == 200
+                assert r.headers["X-Sample-Rate"] == "22050"
+                assert r.headers["Content-Type"] == \
+                    "application/octet-stream"
+                body = await r.read()
+                assert len(body) == 3 * 2205 * 2        # int16 frames
+                pcm = np.frombuffer(body, "<i2").astype(np.float32) / 32768
+                assert np.abs(pcm).max() > 0.1
+            server.broker.stop_and_join()
+
+        _run(go())
+
     def test_stt_ndjson_streaming(self):
         """response_format=ndjson + stream=true emits one JSON line per
         model chunk (reference server.py:1014-1018)."""
