@@ -69,9 +69,50 @@ def bench_kokoro():
         walls.append(time.perf_counter() - t0)
     wall = min(walls)
     xrt = (n_samples / model.config.sample_rate) / wall
-    return {"xrt": round(xrt, 2), "wall_s": round(wall, 4),
-            "wall_mean_s": round(sum(walls) / len(walls), 4),
-            "audio_s": round(n_samples / 24000, 2)}
+    out = {"xrt": round(xrt, 2), "wall_s": round(wall, 4),
+           "wall_mean_s": round(sum(walls) / len(walls), 4),
+           "audio_s": round(n_samples / 24000, 2)}
+    # FLOPs-MFU: kokoro's ISTFTNet path is conv/compute-bound, so judge it
+    # against the MXU peak using XLA's own per-program cost model
+    # (round-2 verdict missing #2; SURVEY §6)
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        from mlx_audio_tpu.ops.roofline import CHIP_SPECS, detect_chip
+        from mlx_audio_tpu.tts.models.kokoro.kokoro import (FRAME_BUCKETS,
+                                                            TOKEN_BUCKETS,
+                                                            _bucket)
+
+        phon = g2p(text)
+        phon = "".join(c for c in phon if c in model.vocab)
+        ids_list = [0, *model.phonemes_to_ids(phon), 0]
+        lb = _bucket(len(ids_list), TOKEN_BUCKETS)
+        ids = np.zeros((1, lb), np.int32); ids[0, :len(ids_list)] = ids_list
+        valid = np.zeros((1, lb), bool); valid[0, :len(ids_list)] = True
+        frontend, acoustic = model._get_jits()
+        fargs = (model.params, jnp.asarray(ids), jnp.asarray(valid),
+                 jnp.asarray(ref_s), jnp.float32(1.0))
+        d, t_en, pred_dur = frontend(*fargs)
+        fb = _bucket(int(jnp.sum(pred_dur)), FRAME_BUCKETS)
+        flops = 0.0
+        for fn, args, kw in (
+                (frontend, fargs, {}),
+                (acoustic, (model.params, d, t_en, pred_dur,
+                            jnp.asarray(ref_s)),
+                 {"num_frames": fb, "key": None})):
+            ca = fn.lower(*args, **kw).compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            flops += float(ca.get("flops", 0.0))
+        chip = detect_chip()
+        peak = CHIP_SPECS[chip]["bf16_tflops"] * 1e12
+        out["flops_per_synth"] = flops
+        out["mfu_pct"] = round(100.0 * flops / wall / peak, 2)
+        out["chip"] = chip
+    except Exception as e:
+        out["mfu_error"] = str(e)[:200]
+    return out
 
 
 def _qwen3_model():
