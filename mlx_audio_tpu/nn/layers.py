@@ -60,6 +60,10 @@ def apply_linear(params: dict, x: Array) -> Array:
 
     Supports quantized params ({'w_q','scales',...}) transparently.
     """
+    if "w_i8" in params:
+        from ..ops.quant import qmatmul_i8
+
+        return qmatmul_i8(params, x)
     if "w_q" in params:
         from ..ops.quant import qmatmul
 

@@ -71,6 +71,73 @@ def init_qwen3_layer(ks, hidden: int, n_heads: int, n_kv: int, head_dim: int,
     }
 
 
+def _concat_linear_params(parts: List[dict], axis_out: int = -2) -> dict:
+    """Concatenate linear param dicts along the output dim — exact fusion.
+
+    Works for dense ({'weight' (…, out, in), 'bias' (…, out)}) and affine-
+    quantized ({'w_q' (…, out, in), 'scales'/'biases' (…, out, ng)}) leaves,
+    with or without a leading stacked-layer axis.
+    """
+    keys = parts[0].keys()
+    fused = {}
+    for k in keys:
+        if k == "bias":
+            fused[k] = jnp.concatenate([p[k] for p in parts], axis=-1)
+        else:
+            fused[k] = jnp.concatenate([p[k] for p in parts], axis=axis_out)
+    return fused
+
+
+def fuse_layer_projections(layers: dict) -> dict:
+    """Fuse q/k/v -> qkv_proj and gate/up -> gateup_proj (exact, out-dim
+    concat). One matmul instead of three/two per site halves the per-layer
+    dispatch overhead of tiny B=1 decode matvecs; `scan_layers` /
+    `qwen3_layer_forward` detect the fused keys. Accepts the stacked-layer
+    tree (leaves carry a leading L axis) or a single layer's tree."""
+    def fuse_one(lp: dict) -> dict:
+        lp = dict(lp)
+        a = dict(lp["self_attn"])
+        if "q_proj" in a:
+            a["qkv_proj"] = _concat_linear_params(
+                [a.pop("q_proj"), a.pop("k_proj"), a.pop("v_proj")])
+        lp["self_attn"] = a
+        m = dict(lp.get("mlp", {}))
+        if "gate_proj" in m:
+            m["gateup_proj"] = _concat_linear_params(
+                [m.pop("gate_proj"), m.pop("up_proj")])
+            lp["mlp"] = m
+        return lp
+
+    return fuse_one(layers)
+
+
+def _qkv(a: dict, hn: Array, n_heads: int, n_kv: int, head_dim: int):
+    """Project hidden -> (q, k, v), via the fused weight when present."""
+    b, t, _ = hn.shape
+    if "qkv_proj" in a:
+        qkv = apply_linear(a["qkv_proj"], hn)
+        nq = n_heads * head_dim
+        nk = n_kv * head_dim
+        q, k, v = (qkv[..., :nq], qkv[..., nq:nq + nk], qkv[..., nq + nk:])
+    else:
+        q = apply_linear(a["q_proj"], hn)
+        k = apply_linear(a["k_proj"], hn)
+        v = apply_linear(a["v_proj"], hn)
+    return (q.reshape(b, t, n_heads, head_dim),
+            k.reshape(b, t, n_kv, head_dim),
+            v.reshape(b, t, n_kv, head_dim))
+
+
+def _mlp(m: dict, hn: Array) -> Array:
+    if "gateup_proj" in m:
+        gu = apply_linear(m["gateup_proj"], hn)
+        g, u = jnp.split(gu, 2, axis=-1)
+    else:
+        g = apply_linear(m["gate_proj"], hn)
+        u = apply_linear(m["up_proj"], hn)
+    return apply_linear(m["down_proj"], jax.nn.silu(g) * u)
+
+
 def qwen3_layer_forward(
     p: dict,
     x: Array,
@@ -88,9 +155,7 @@ def qwen3_layer_forward(
     b, t, _ = x.shape
     h = apply_rms_norm(p["input_layernorm"], x, eps)
     a = p["self_attn"]
-    q = apply_linear(a["q_proj"], h).reshape(b, t, n_heads, head_dim)
-    k = apply_linear(a["k_proj"], h).reshape(b, t, n_kv, head_dim)
-    v = apply_linear(a["v_proj"], h).reshape(b, t, n_kv, head_dim)
+    q, k, v = _qkv(a, h, n_heads, n_kv, head_dim)
     q = apply_rms_norm(a["q_norm"], q, eps)
     k = apply_rms_norm(a["k_norm"], k, eps)
     q = apply_rope(q, positions, inv_freq)
@@ -115,10 +180,7 @@ def qwen3_layer_forward(
     out = out.reshape(b, t, n_heads * head_dim)
     x = x + apply_linear(a["o_proj"], out)
     h = apply_rms_norm(p["post_attention_layernorm"], x, eps)
-    m = p["mlp"]
-    x = x + apply_linear(m["down_proj"],
-                         jax.nn.silu(apply_linear(m["gate_proj"], h))
-                         * apply_linear(m["up_proj"], h))
+    x = x + _mlp(p["mlp"], h)
     return x, new_cache
 
 
@@ -177,9 +239,7 @@ def scan_layers(layers: dict, x: Array, positions, inv_freq, n_heads: int,
         lp, i = xs
         hn = apply_rms_norm(lp["input_layernorm"], h, eps)
         a = lp["self_attn"]
-        q = apply_linear(a["q_proj"], hn).reshape(b, t, n_heads, head_dim)
-        k = apply_linear(a["k_proj"], hn).reshape(b, t, n_kv, head_dim)
-        v = apply_linear(a["v_proj"], hn).reshape(b, t, n_kv, head_dim)
+        q, k, v = _qkv(a, hn, n_heads, n_kv, head_dim)
         q = apply_rms_norm(a["q_norm"], q, eps)
         k = apply_rms_norm(a["k_norm"], k, eps)
         q = apply_rope(q, positions, inv_freq)
@@ -206,10 +266,7 @@ def scan_layers(layers: dict, x: Array, positions, inv_freq, n_heads: int,
         h = h + apply_linear(a["o_proj"],
                              out.reshape(b, t, n_heads * head_dim))
         hn = apply_rms_norm(lp["post_attention_layernorm"], h, eps)
-        m = lp["mlp"]
-        h = h + apply_linear(m["down_proj"],
-                             jax.nn.silu(apply_linear(m["gate_proj"], hn))
-                             * apply_linear(m["up_proj"], hn))
+        h = h + _mlp(lp["mlp"], hn)
         return (h, ck, cv), None
 
     n_layers = caches.k.shape[0]

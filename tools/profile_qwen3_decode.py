@@ -6,7 +6,9 @@ One frame = talker step (28L) + G-1=15 code-predictor sub-steps (5L each)
 loop (so tunnel RTT is amortized to nothing) and reports achieved GB/s
 per piece — pointing at whichever piece is leaving bandwidth on the table.
 
-Run (real TPU): python tools/profile_qwen3_decode.py [N_FRAMES]
+Run (real TPU): python tools/profile_qwen3_decode.py [N_FRAMES] [--fuse]
+  --fuse: apply fuse_layer_projections to the talker stack first (QKV +
+  gate/up fused matvecs) to measure the dispatch-overhead recovery.
 """
 
 import sys
@@ -18,7 +20,9 @@ sys.path.insert(0, ".")
 
 
 def main():
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n = int(args[0]) if args else 64
+    fuse = "--fuse" in sys.argv
 
     import jax
     import jax.numpy as jnp
@@ -26,10 +30,20 @@ def main():
     from bench import _qwen3_model
     from mlx_audio_tpu.ops.roofline import param_footprint_bytes
     from mlx_audio_tpu.tts.models.qwen3_tts.talker import (
-        code_predictor_sample, make_stacked_caches, talker_forward,
+        code_predictor_sample, fuse_layer_projections, make_stacked_caches,
+        talker_forward,
     )
 
     model = _qwen3_model()
+    if fuse:
+        model.params["talker"]["model"]["layers"] = fuse_layer_projections(
+            model.params["talker"]["model"]["layers"])
+        cp_layers = model.params["talker"]["code_predictor"]["model"].get(
+            "layers")
+        if cp_layers is not None:
+            model.params["talker"]["code_predictor"]["model"]["layers"] = (
+                fuse_layer_projections(cp_layers))
+        print("fused QKV + gate/up projections")
     tcfg, cpcfg = model.tcfg, model.cpcfg
     params = model.params
     cache_len = 256
