@@ -77,9 +77,11 @@ def qmatmul(params: dict, x: Array) -> Array:
     the HBM bf16 streaming rate (757 GB/s = 380G bf16 weights/s) coincide
     on this chip. Affine-q8 decode is therefore VPU-bound, not
     bandwidth-bound: its win is the 2x weight footprint (and HBM headroom
-    for batching/KV), not single-stream latency. A native int8 MXU path
-    measured 2x SLOWER (XLA lowers int8 matvecs poorly), and grouped-
-    einsum / expanded-repeat variants are all within noise of each other.
+    for batching/KV), not single-stream latency. For decode latency use
+    `qmatmul_i8` (per-channel W8A8 on the MXU, measured 1.5x faster than
+    both this and bf16-dense at b=1 — tools/bench_qmm_formulations.py); a
+    naive int8 matvec (cast inside one dot) lowers poorly and measures 2x
+    slower.
     """
     out_f, in_f = params["w_q"].shape
     ng = params["scales"].shape[1]
@@ -97,89 +99,93 @@ def qmatmul(params: dict, x: Array) -> Array:
 
 
 # ---------------------------------------------------------------------------
-# int8 MXU decode path (W8A8, per-group scales via block-diagonal partials)
+# int8 MXU decode path (W8A8, per-channel symmetric)
 # ---------------------------------------------------------------------------
 
 
 def to_i8_layout(params: dict) -> dict:
-    """Affine u8 codes -> signed int8 codes with the zero-point folded:
-    w = s*q + b = s*(q-128) + (b + 128 s) = s*q' + b'. The signed codes feed
-    the MXU's native s8 x s8 -> s32 dot in `qmatmul_i8`."""
-    q = params["w_q"].astype(jnp.int32) - 128
+    """Affine per-group codes -> per-(output)channel symmetric int8.
+
+    w_i8[o, i] = round(dequant(w)[o, i] / scale[o]), scale (out,) f32.
+    The re-quantization from the per-group affine grid onto the per-channel
+    symmetric grid adds ~0.5 LSB noise (measured ~1.1e-2 max-rel on the
+    matmul output at transformer dims, vs ~6e-3 for per-group); the payoff
+    is that `qmatmul_i8` becomes ONE int8 MXU dot with no per-group partial
+    sums. Formulations that preserve per-group scales were raced and lose
+    at model scale (tools/bench_qmm_formulations.py): block-diagonal
+    partials multiply dot FLOPs by n_groups (x128 on a down_proj, turning
+    the step compute-bound), and a grouped batched dot forces XLA to pad
+    the 64-wide contraction to the 128 MXU tile (2x the weight stream).
+    """
+    wd = dequantize_weight(params, jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(wd), axis=-1) / 127.0, 1e-12)
+    q = jnp.clip(jnp.round(wd / scale[:, None]), -127, 127).astype(jnp.int8)
     out = {k: v for k, v in params.items()
            if k not in ("w_q", "scales", "biases")}
-    out.update({
-        "w_i8": q.astype(jnp.int8),
-        "scales": params["scales"],
-        "biases": params["biases"] + 128.0 * params["scales"],
-    })
+    out.update({"w_i8": q, "scale": scale})
     return out
 
 
 def qmatmul_i8(params: dict, x: Array) -> Array:
-    """x (..., in) @ dequant(w).T via ONE int8 MXU dot (W8A8).
+    """x (..., in) @ dequant(w).T via ONE int8 MXU dot (W8A8 per-channel).
 
     The shipped `qmatmul` dequantizes per-weight on the VPU, which measures
     VPU-bound on v5e (~380 G weights/s — the same wall clock as streaming
-    bf16), so affine-q8 bought footprint but no decode latency. This path
-    moves dequantization AFTER the matmul: activations are dynamically
-    quantized to int8 per group (symmetric), expanded into a block-diagonal
-    matrix X (in, B*ng) with X[i, bg] = xq[b,i]*[group(i)==g], and the
-    per-group partial sums Z = W_i8 @ X arrive from a single s8 x s8 -> s32
-    MXU dot. Scales then apply on the (out, B, ng) partials — in/gs times
-    fewer VPU ops than per-weight dequant — so the weight stream runs at the
-    int8 byte roofline (~2x faster than bf16/qmatmul at decode shapes).
+    bf16), so affine-q8 bought footprint but zero b=1 latency. This path
+    moves all scaling AFTER the matmul: activations are dynamically
+    quantized to int8 per token (symmetric), the s8 x s8 -> s32 dot runs on
+    the MXU streaming int8 weight bytes, and two rank-1 scale multiplies
+    (activation scale, per-channel weight scale) finish on the (B, out)
+    result — O(B*out) VPU work instead of O(out*in) per-weight dequant.
 
-    Numerics: W8A8 with per-group activation scales; relative error vs the
-    exact dequant matmul measured ~7e-3 at transformer dims. Opt-in (decode
-    hot paths), never the default load format.
+    Measured on v5e at Higgs-v2-3B decode dims (14-layer q/k/v/o/gate/up/
+    down stack, 1.41 GB int8 weights per step, B=1): 3.82 ms/step vs bf16
+    dense 5.76 ms — 1.51x faster, 369 GB/s int8 weight stream. See
+    tools/bench_qmm_formulations.py for the losing per-group variants.
+
+    Numerics: W8A8, per-token activation scale + per-channel weight scale;
+    max-rel error vs the exact dequant matmul ~1.1e-2 at transformer dims.
+    Opt-in (decode hot paths), never the default load format.
     """
     w = params["w_i8"]
     out_f, in_f = w.shape
-    ng = params["scales"].shape[1]
-    gs = in_f // ng
-    lead = x.shape[:-1]
-    b = 1
-    for d in lead:
-        b *= d
-    xf = x.reshape(b, in_f).astype(jnp.float32)
-    xg = xf.reshape(b, ng, gs)
-    sx = jnp.maximum(jnp.max(jnp.abs(xg), axis=-1) / 127.0, 1e-12)  # (B, ng)
-    xq = jnp.clip(jnp.round(xg / sx[..., None]), -127, 127).astype(jnp.int8)
-    gid = jnp.repeat(jnp.arange(ng, dtype=jnp.int32), gs)           # (in,)
-    onehot = (gid[:, None] == jnp.arange(ng, dtype=jnp.int32)[None, :]
-              ).astype(jnp.int8)                                    # (in, ng)
-    # block-diagonal per batch row: X (in, B*ng); columns are batch-disjoint
-    X = (xq.reshape(b, in_f).T[:, :, None] * onehot[:, None, :]
-         ).reshape(in_f, b * ng)
+    xf = x.astype(jnp.float32)
+    sx = jnp.maximum(
+        jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0, 1e-12)
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
     z = jax.lax.dot_general(
-        w, X, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    ).reshape(out_f, b, ng)
-    y = jnp.einsum("og,bg,obg->bo", params["scales"],
-                   sx.astype(jnp.float32), z.astype(jnp.float32))
-    xsum = jnp.sum(xg, axis=-1)                                     # (B, ng)
-    y = y + jnp.einsum("bg,og->bo", xsum,
-                       params["biases"].astype(jnp.float32))
+        xq, w, dimension_numbers=(((xq.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    y = z.astype(jnp.float32) * sx * params["scale"].astype(jnp.float32)
     if "bias" in params:
         y = y + params["bias"].astype(jnp.float32)
-    return y.reshape(lead + (out_f,)).astype(x.dtype)
+    return y.astype(x.dtype)
 
 
-def tree_to_i8_layout(params, predicate=None, path: str = ""):
-    """Convert every affine-quantized leaf in a tree to the int8 MXU decode
-    layout (see `to_i8_layout`). predicate(path) -> bool gates conversion
-    per layer (e.g. keep lm_head on the exact path)."""
+def tree_to_i8_layout(params, predicate=None, path: str = "",
+                      consume: bool = False):
+    """Convert every affine-quantized leaf in a tree to the per-channel int8
+    MXU decode layout (see `to_i8_layout`). predicate(path) -> bool gates
+    conversion per layer (e.g. keep lm_head on the exact per-group path).
+    consume=True frees each source code/scale buffer as its leaf converts
+    (peak HBM stays ~one dequantized leaf above the converted tree) — only
+    pass it when the input tree is being replaced."""
     if isinstance(params, dict):
         if "w_q" in params and "scales" in params:
             if predicate is None or predicate(path):
-                return to_i8_layout(params)
+                out = to_i8_layout(params)
+                if consume:
+                    jax.block_until_ready(out)
+                    for k in ("w_q", "scales", "biases"):
+                        if isinstance(params.get(k), jax.Array):
+                            params[k].delete()
+                return out
             return params
         return {k: tree_to_i8_layout(v, predicate,
-                                     f"{path}.{k}" if path else k)
+                                     f"{path}.{k}" if path else k, consume)
                 for k, v in params.items()}
     if isinstance(params, (list, tuple)):
-        return type(params)(tree_to_i8_layout(v, predicate, path)
+        return type(params)(tree_to_i8_layout(v, predicate, path, consume)
                             for v in params)
     return params
 

@@ -182,7 +182,23 @@ def apply_quantization(
             return bool(q) if isinstance(q, bool) else True
         return True
 
-    return maybe_quantize_tree(params, group_size, bits, predicate)
+    params = maybe_quantize_tree(params, group_size, bits, predicate)
+
+    # Opt-in W8A8 decode layout: per-channel symmetric int8 codes feeding
+    # the MXU's native s8 x s8 -> s32 dot (ops/quant.py:qmatmul_i8).
+    # Measured 1.5x faster than both bf16-dense and the VPU-dequant qmatmul
+    # at b=1 decode shapes on v5e (tools/bench_qmm_formulations.py), at
+    # ~1.1e-2 relative error from the per-channel re-quant + dynamic
+    # per-token activation quantization — hence opt-in, not default.
+    mxu_int8 = quantization.get("mxu_int8")
+    if mxu_int8 is None:
+        mxu_int8 = os.environ.get("MLX_AUDIO_TPU_MXU_INT8", "") in (
+            "1", "true", "yes")
+    if mxu_int8 and bits == 8:
+        from .ops.quant import tree_to_i8_layout
+
+        params = tree_to_i8_layout(params, consume=True)
+    return params
 
 
 def is_valid_module_name(name: Optional[str]) -> bool:

@@ -1,8 +1,9 @@
 """W8A8 int8-MXU matmul path (ops.quant.qmatmul_i8) numerics.
 
 qmatmul_i8 trades exact per-weight dequant for a single s8xs8->s32 MXU dot
-plus per-group output scaling; the only approximation is dynamic per-group
-int8 activation quantization. These tests pin the error bound vs the exact
+plus rank-1 output scaling; the approximations are the per-channel weight
+re-quantization (from the per-group affine grid) and dynamic per-token int8
+activation quantization. These tests pin the error bound vs the exact
 dequant matmul and the transparent apply_linear dispatch on 'w_i8' leaves.
 """
 
@@ -60,17 +61,17 @@ def test_i8_bias_and_leading_dims():
     assert rel < 2e-2, rel
 
 
-def test_zero_point_fold_is_exact():
-    """On exactly representable activations (integers scaled into range) the
-    only error left is the zero-point fold — which is algebraically exact."""
+def test_per_channel_requant_error_is_half_lsb():
+    """The per-channel re-quantization of the dequantized per-group weight
+    is nearest-grid rounding: per row, |w_pc - w| <= scale[o]/2 elementwise
+    (0.5 LSB of the per-channel grid)."""
     qp, _ = _setup(seed=3)
     p8 = to_i8_layout(qp)
-    w_from_u8 = dequantize_weight(qp)
-    w_from_i8 = (p8["w_i8"].astype(jnp.float32)
-                 .reshape(96, -1, 32) * p8["scales"][..., None]
-                 + p8["biases"][..., None]).reshape(96, 128)
-    np.testing.assert_allclose(np.asarray(w_from_u8),
-                               np.asarray(w_from_i8), rtol=1e-6, atol=1e-6)
+    w_src = np.asarray(dequantize_weight(qp))
+    w_pc = (np.asarray(p8["w_i8"], np.float32)
+            * np.asarray(p8["scale"])[:, None])
+    bound = np.asarray(p8["scale"])[:, None] * 0.5 + 1e-7
+    assert (np.abs(w_pc - w_src) <= bound).all()
 
 
 def test_apply_linear_dispatches_on_w_i8():

@@ -64,6 +64,42 @@ class TestQuantizedE2E:
             np.testing.assert_allclose(np.asarray(got.audio),
                                        np.asarray(ref.audio), atol=1e-5)
 
+    def test_q8_mxu_i8_layout_greedy_parity(self):
+        """The W8A8 MXU decode layout (tree_to_i8_layout -> qmatmul_i8, the
+        bench/product `mxu_int8` path) still reproduces the bf16 greedy code
+        sequence: dynamic activation quantization adds ~8e-3 relative error,
+        which must stay below the greedy argmax margin."""
+        from mlx_audio_tpu.ops.quant import tree_to_i8_layout
+
+        bf16 = _fresh_model()
+        ref = list(bf16.generate("parity check sentence", temperature=0.0,
+                                 max_new_frames=12, seed=0))[0]
+        q8 = _quantize(_fresh_model(), 8)
+        q8.params = tree_to_i8_layout(q8.params)
+        flat = jax.tree_util.tree_flatten_with_path(q8.params)[0]
+        assert any(getattr(p, "key", "") == "w_i8" for k, _ in flat
+                   for p in k), "i8 layout conversion did not take"
+        got = list(q8.generate("parity check sentence", temperature=0.0,
+                               max_new_frames=12, seed=0))[0]
+        ref_codes = np.asarray(ref.prompt["codes"])
+        got_codes = np.asarray(got.prompt["codes"])
+        assert got_codes.shape == ref_codes.shape
+        agree = float((got_codes == ref_codes).mean())
+        assert agree >= 0.9, f"greedy code agreement {agree:.3f} < 0.9"
+
+    def test_apply_quantization_mxu_int8_optin(self):
+        """utils.apply_quantization honors quantization['mxu_int8']."""
+        from mlx_audio_tpu.utils import apply_quantization
+
+        m = _fresh_model()
+        params = apply_quantization(
+            m.params, {"quantization": {"bits": 8, "group_size": GROUP,
+                                        "mxu_int8": True}},
+            model_quant_predicate=m.model_quant_predicate)
+        flat = jax.tree_util.tree_flatten_with_path(params)[0]
+        keys = {getattr(p, "key", "") for k, _ in flat for p in k}
+        assert "w_i8" in keys and "w_q" not in keys
+
     def test_q8_prefill_logits_tolerance(self):
         """Quantization error on the prefill logits is bounded well below
         typical greedy margins."""
