@@ -178,8 +178,21 @@ def _qwen3_roofline(model, frame_s: float, batch: int = 1,
                                   1)}
 
 
-def bench_qwen3():
+def bench_qwen3(bits=None):
     model = _qwen3_model()
+    if bits:
+        from mlx_audio_tpu.ops.quant import (
+            maybe_quantize_tree, tree_to_i8_layout)
+
+        model.params = maybe_quantize_tree(
+            model.params, group_size=64, bits=bits,
+            predicate=lambda p, w: model.model_quant_predicate(p, w),
+            consume=True)
+        if bits == 8:
+            # per-channel W8A8 decode (the mxu_int8 load option): halves
+            # the talker + code-predictor weight stream, which is ~all of
+            # the frame time (the frame measured 95% of the bf16 roofline)
+            model.params = tree_to_i8_layout(model.params, consume=True)
     text_ids = np.arange(100, 150)[None]
 
     # warmup: compiles prefill + first/steady chunk steppers + codec
@@ -618,6 +631,12 @@ def main():
         details["qwen3_vs_target"] = round(q["xrt"] / 5.0, 3)
     except Exception as e:
         print(f"qwen3 bench failed: {e}", file=sys.stderr)
+    try:
+        q8 = _retry(lambda: bench_qwen3(8))
+        details["qwen3_tts_1b7_q8"] = q8
+        print(f"qwen3_tts_q8: {q8}", file=sys.stderr)
+    except Exception as e:
+        print(f"qwen3 q8 bench failed: {e}", file=sys.stderr)
     try:
         c = _retry(bench_cohere_asr)
         details["cohere_asr_10min"] = c

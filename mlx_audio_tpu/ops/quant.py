@@ -52,7 +52,11 @@ def quantize_weight(
 
 
 def dequantize_weight(params: dict, dtype=jnp.float32) -> Array:
-    """Reconstruct the dense weight (out, in)."""
+    """Reconstruct the dense weight (out, in); stacked (L, out, in) leaves
+    dequantize layer-wise."""
+    if params["w_q"].ndim == 3:
+        core = {k: params[k] for k in ("w_q", "scales", "biases")}
+        return jax.vmap(lambda p: dequantize_weight(p, dtype))(core)
     q = params["w_q"].astype(jnp.float32)
     out_f, in_f = q.shape
     gs = in_f // params["scales"].shape[1]
@@ -117,13 +121,22 @@ def to_i8_layout(params: dict) -> dict:
     the step compute-bound), and a grouped batched dot forces XLA to pad
     the 64-wide contraction to the 128 MXU tile (2x the weight stream).
     """
-    wd = dequantize_weight(params, jnp.float32)
+    rest = {k: v for k, v in params.items()
+            if k not in ("w_q", "scales", "biases")}
+    core = {k: params[k] for k in ("w_q", "scales", "biases")}
+    if params["w_q"].ndim == 3:          # stacked (L, out, in) layer trees
+        out = jax.vmap(_to_i8_core)(core)
+    else:
+        out = _to_i8_core(core)
+    out.update(rest)
+    return out
+
+
+def _to_i8_core(core: dict) -> dict:
+    wd = dequantize_weight(core, jnp.float32)
     scale = jnp.maximum(jnp.max(jnp.abs(wd), axis=-1) / 127.0, 1e-12)
     q = jnp.clip(jnp.round(wd / scale[:, None]), -127, 127).astype(jnp.int8)
-    out = {k: v for k, v in params.items()
-           if k not in ("w_q", "scales", "biases")}
-    out.update({"w_i8": q, "scale": scale})
-    return out
+    return {"w_i8": q, "scale": scale}
 
 
 def qmatmul_i8(params: dict, x: Array) -> Array:
@@ -378,7 +391,7 @@ def maybe_quantize_tree(
             q.update(rest)
             return q
         if "weight" in params and isinstance(params["weight"], jax.Array) \
-                and params["weight"].ndim == 2 and "w_q" not in params \
+                and params["weight"].ndim in (2, 3) and "w_q" not in params \
                 and "w_fp4" not in params and "w_fp8" not in params:
             w = params["weight"]
             leaf = path.rsplit(".", 1)[-1].lower()
@@ -386,13 +399,24 @@ def maybe_quantize_tree(
                                ("embed", "codebook", "positional"))
             gs = group_size if mode == "affine" \
                 else FP_MODE_DEFAULTS.get(mode, group_size)
-            ok = w.shape[1] % gs == 0 and not is_embedding
+            ok = w.shape[-1] % gs == 0 and not is_embedding
+            # 3-D leaves are ambiguous by shape (a stacked-layer linear
+            # (L, out, in) vs a conv kernel): quantize them only when an
+            # explicit predicate vouches for the path.
+            if w.ndim == 3 and predicate is None:
+                ok = False
             verdict = True if predicate is None else predicate(path, w)
             if ok and verdict:
                 if mode == "affine":
                     layer_bits = verdict if isinstance(verdict, int) \
                         and not isinstance(verdict, bool) else bits
-                    q = quantize_weight(w, gs, layer_bits)
+                    if w.ndim == 3:
+                        q = jax.vmap(
+                            lambda w2: quantize_weight(w2, gs, layer_bits))(w)
+                    else:
+                        q = quantize_weight(w, gs, layer_bits)
+                elif w.ndim == 3:
+                    q = jax.vmap(lambda w2: quantize_weight_fp(w2, mode, gs))(w)
                 else:
                     q = quantize_weight_fp(w, mode, gs)
                 rest = {k: v for k, v in params.items() if k != "weight"}

@@ -95,6 +95,25 @@ class Model(FunctionalModel):
     # params / loading
     # ------------------------------------------------------------------
 
+    def model_quant_predicate(self, path, w):
+        """Quantize the AR hot path only: talker + code-predictor attention/
+        MLP projections and the codec_head / text_projection linears. The
+        talker stack is stored stacked (L, out, in) — this explicit verdict
+        is what lets maybe_quantize_tree touch 3-D leaves. The speech-
+        tokenizer (codec) stays full precision: it runs once per chunk, not
+        per frame, and its output is the waveform itself; the code-predictor
+        lm_head is consumed via row gathers (talker.py) so it must stay
+        dense."""
+        p = path.lower()
+        if not p.startswith("talker"):
+            return False
+        if "lm_head" in p or "norm" in p or "embed" in p:
+            return False
+        leaf = p.rsplit(".", 1)[-1]
+        return (leaf.endswith("_proj") or leaf in ("qkv_proj", "gateup_proj",
+                                                   "linear_fc1", "linear_fc2",
+                                                   "codec_head"))
+
     def init_params(self, key):
         k1, k2 = jax.random.split(key)
         return {
