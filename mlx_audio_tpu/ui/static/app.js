@@ -310,35 +310,104 @@ $("stt-transcribe").addEventListener("click", async () => {
 
 let rtWs = null, rtCtx = null, rtNode = null, rtStream = null;
 
+function setVadState(state) {
+  const pill = $("rt-vad-state");
+  pill.hidden = false;
+  pill.textContent = state;
+  pill.className = `vad-state ${state.replace(/\W.*/, "")}`;
+}
+
+function f32ToPcm16(f32) {
+  const i16 = new Int16Array(f32.length);
+  for (let i = 0; i < f32.length; i++) {
+    i16[i] = Math.max(-32768, Math.min(32767, Math.round(f32[i] * 32768)));
+  }
+  return i16;
+}
+
+// OpenAI-style /v1/realtime session: base64 append events in, VAD +
+// transcription events out (server.py realtime handler).
+function openRealtimeSession(model, status) {
+  const proto = location.protocol === "https:" ? "wss" : "ws";
+  const ws = new WebSocket(
+    `${proto}://${location.host}/v1/realtime` +
+    `?model=${encodeURIComponent(model)}`);
+  ws.onmessage = (ev) => {
+    let m;
+    try { m = JSON.parse(ev.data); } catch { return; }
+    switch (m.type) {
+      case "session.created":
+        setVadState(m.session?.turn_detection ? "listening" : "no VAD");
+        break;
+      case "input_audio_buffer.speech_started":
+        setVadState(`speech @${(m.audio_start_ms / 1000).toFixed(1)}s`);
+        break;
+      case "input_audio_buffer.speech_stopped":
+        setVadState("committing");
+        break;
+      case "input_audio_buffer.committed":
+        setVadState("committed");
+        break;
+      case "conversation.item.input_audio_transcription.delta":
+        $("rt-text").textContent += m.delta || "";
+        break;
+      case "conversation.item.input_audio_transcription.completed":
+        $("rt-text").textContent =
+          $("rt-text").textContent.trimEnd() + ` ${m.transcript || ""}\n`;
+        setVadState("listening");
+        break;
+      case "error":
+        status.className = "status err";
+        status.textContent = `error: ${m.error?.message || m.error}`;
+        break;
+    }
+  };
+  ws.sendAudio = (f32) => {
+    if (ws.readyState !== 1) return;
+    const bytes = new Uint8Array(f32ToPcm16(f32).buffer);
+    let bin = "";
+    for (let i = 0; i < bytes.length; i += 0x8000) {
+      bin += String.fromCharCode.apply(null, bytes.subarray(i, i + 0x8000));
+    }
+    ws.send(JSON.stringify({ type: "input_audio_buffer.append",
+                             audio: btoa(bin) }));
+  };
+  return ws;
+}
+
+function openTranscribeFeed(model) {
+  const proto = location.protocol === "https:" ? "wss" : "ws";
+  const ws = new WebSocket(
+    `${proto}://${location.host}/v1/audio/transcriptions/realtime` +
+    `?model=${encodeURIComponent(model)}`);
+  ws.onmessage = (ev) => {
+    try {
+      const m = JSON.parse(ev.data);
+      if (m.text) $("rt-text").textContent += m.text;
+      if (m.delta) $("rt-text").textContent += m.delta;
+    } catch { /* non-JSON frame */ }
+  };
+  ws.sendAudio = (f32) => {
+    if (ws.readyState === 1) ws.send(f32ToPcm16(f32).buffer);
+  };
+  return ws;
+}
+
 $("rt-start").addEventListener("click", async () => {
   const status = $("rt-status");
   status.className = "status";
   try {
     rtStream = await navigator.mediaDevices.getUserMedia({ audio: true });
-    const proto = location.protocol === "https:" ? "wss" : "ws";
-    rtWs = new WebSocket(
-      `${proto}://${location.host}/v1/audio/transcriptions/realtime` +
-      `?model=${encodeURIComponent($("rt-model").value.trim())}`);
-    rtWs.onmessage = (ev) => {
-      try {
-        const m = JSON.parse(ev.data);
-        if (m.text) $("rt-text").textContent += m.text;
-        if (m.delta) $("rt-text").textContent += m.delta;
-      } catch { /* non-JSON frame */ }
-    };
+    const model = $("rt-model").value.trim();
+    rtWs = $("rt-vad").checked
+      ? openRealtimeSession(model, status)
+      : openTranscribeFeed(model);
     rtWs.onclose = () => { status.textContent = "closed"; };
     rtCtx = new AudioContext({ sampleRate: 16000 });
     const src = rtCtx.createMediaStreamSource(rtStream);
     rtNode = rtCtx.createScriptProcessor(4096, 1, 1);
-    rtNode.onaudioprocess = (e) => {
-      if (!rtWs || rtWs.readyState !== 1) return;
-      const f32 = e.inputBuffer.getChannelData(0);
-      const i16 = new Int16Array(f32.length);
-      for (let i = 0; i < f32.length; i++) {
-        i16[i] = Math.max(-32768, Math.min(32767, Math.round(f32[i] * 32768)));
-      }
-      rtWs.send(i16.buffer);
-    };
+    rtNode.onaudioprocess = (e) =>
+      rtWs.sendAudio(e.inputBuffer.getChannelData(0));
     src.connect(rtNode);
     rtNode.connect(rtCtx.destination);
     $("rt-start").disabled = true;
@@ -354,7 +423,11 @@ $("rt-stop").addEventListener("click", () => {
   rtNode?.disconnect();
   rtCtx?.close();
   rtStream?.getTracks().forEach((t) => t.stop());
+  if (rtWs?.readyState === 1 && $("rt-vad").checked) {
+    rtWs.send(JSON.stringify({ type: "session.close" }));
+  }
   rtWs?.close();
+  $("rt-vad-state").hidden = true;
   $("rt-start").disabled = false;
   $("rt-stop").disabled = true;
   $("rt-status").textContent = "stopped";
