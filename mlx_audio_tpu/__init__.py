@@ -48,8 +48,14 @@ def enable_compilation_cache(cache_dir=None):
             return
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        # cache everything that takes meaningfully long to compile
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        # Cache even sub-second compiles: on a tunneled TPU backend every
+        # eager op dispatch (convert_element_type, broadcast_in_dim, ...)
+        # pays a ~0.45 s compile round-trip, and a warm process issues ~60
+        # of them — just under jax's default 0.5 s write threshold, which
+        # silently turned "cached cold start" into ~25 s of tiny recompiles
+        # every process. 0.05 s keeps truly-free CPU-style compiles out
+        # while capturing everything a TPU round-trip makes expensive.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.05)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:  # pragma: no cover - cache is best-effort
         pass
