@@ -182,7 +182,20 @@ def tree_to_i8_layout(params, predicate=None, path: str = "",
     conversion per layer (e.g. keep lm_head on the exact per-group path).
     consume=True frees each source code/scale buffer as its leaf converts
     (peak HBM stays ~one dequantized leaf above the converted tree) — only
-    pass it when the input tree is being replaced."""
+    pass it when the input tree is being replaced. Tied weights (one buffer
+    referenced by several leaves) are refcounted: a shared buffer is only
+    deleted once its last referencing leaf has converted, and never if a
+    predicate keeps any referencing leaf on the per-group path."""
+    refs = None
+    if consume:
+        from collections import Counter
+
+        refs = Counter(id(v) for v in jax.tree.leaves(params)
+                       if isinstance(v, jax.Array))
+    return _tree_to_i8_layout(params, predicate, path, consume, refs)
+
+
+def _tree_to_i8_layout(params, predicate, path, consume, refs):
     if isinstance(params, dict):
         if "w_q" in params and "scales" in params:
             if predicate is None or predicate(path):
@@ -190,16 +203,21 @@ def tree_to_i8_layout(params, predicate=None, path: str = "",
                 if consume:
                     jax.block_until_ready(out)
                     for k in ("w_q", "scales", "biases"):
-                        if isinstance(params.get(k), jax.Array):
-                            params[k].delete()
+                        arr = params.get(k)
+                        if isinstance(arr, jax.Array):
+                            refs[id(arr)] -= 1
+                            if refs[id(arr)] <= 0:
+                                arr.delete()
                 return out
             return params
-        return {k: tree_to_i8_layout(v, predicate,
-                                     f"{path}.{k}" if path else k, consume)
+        return {k: _tree_to_i8_layout(v, predicate,
+                                      f"{path}.{k}" if path else k, consume,
+                                      refs)
                 for k, v in params.items()}
     if isinstance(params, (list, tuple)):
-        return type(params)(tree_to_i8_layout(v, predicate, path, consume)
-                            for v in params)
+        return type(params)(
+            _tree_to_i8_layout(v, predicate, path, consume, refs)
+            for v in params)
     return params
 
 

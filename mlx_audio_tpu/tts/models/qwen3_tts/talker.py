@@ -74,14 +74,16 @@ def init_qwen3_layer(ks, hidden: int, n_heads: int, n_kv: int, head_dim: int,
 def _concat_linear_params(parts: List[dict], axis_out: int = -2) -> dict:
     """Concatenate linear param dicts along the output dim — exact fusion.
 
-    Works for dense ({'weight' (…, out, in), 'bias' (…, out)}) and affine-
-    quantized ({'w_q' (…, out, in), 'scales'/'biases' (…, out, ng)}) leaves,
+    Works for dense ({'weight' (…, out, in), 'bias' (…, out)}), affine-
+    quantized ({'w_q' (…, out, in), 'scales'/'biases' (…, out, ng)}) and
+    per-channel int8 ({'w_i8' (…, out, in), 'scale' (…, out)}) leaves,
     with or without a leading stacked-layer axis.
     """
     keys = parts[0].keys()
     fused = {}
     for k in keys:
-        if k == "bias":
+        if k in ("bias", "scale"):
+            # 1-D-per-output leaves concatenate along the output dim = -1
             fused[k] = jnp.concatenate([p[k] for p in parts], axis=-1)
         else:
             fused[k] = jnp.concatenate([p[k] for p in parts], axis=axis_out)

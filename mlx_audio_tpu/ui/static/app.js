@@ -372,6 +372,7 @@ function openRealtimeSession(model, status) {
     ws.send(JSON.stringify({ type: "input_audio_buffer.append",
                              audio: btoa(bin) }));
   };
+  ws.isVadSession = true;
   return ws;
 }
 
@@ -423,7 +424,9 @@ $("rt-stop").addEventListener("click", () => {
   rtNode?.disconnect();
   rtCtx?.close();
   rtStream?.getTracks().forEach((t) => t.stop());
-  if (rtWs?.readyState === 1 && $("rt-vad").checked) {
+  // use the mode the session was STARTED in (toggling the checkbox
+  // mid-session must not change how the live socket is closed)
+  if (rtWs?.readyState === 1 && rtWs.isVadSession) {
     rtWs.send(JSON.stringify({ type: "session.close" }));
   }
   rtWs?.close();

@@ -150,6 +150,7 @@ def apply_quantization(
     config: dict,
     weights: Optional[Dict[str, jnp.ndarray]] = None,
     model_quant_predicate: Optional[Callable] = None,
+    model_i8_predicate: Optional[Callable] = None,
 ) -> dict:
     """Quantize linear weights per config['quantization'] (reference utils.py:209).
 
@@ -192,12 +193,16 @@ def apply_quantization(
     # per-token activation quantization — hence opt-in, not default.
     mxu_int8 = quantization.get("mxu_int8")
     if mxu_int8 is None:
-        mxu_int8 = os.environ.get("MLX_AUDIO_TPU_MXU_INT8", "") in (
-            "1", "true", "yes")
+        mxu_int8 = os.environ.get(
+            "MLX_AUDIO_TPU_MXU_INT8", "").strip().lower() in ("1", "true",
+                                                              "yes")
     if mxu_int8 and bits == 8:
         from .ops.quant import tree_to_i8_layout
 
-        params = tree_to_i8_layout(params, consume=True)
+        # model_i8_predicate (path -> bool) lets a model keep sensitive
+        # layers (e.g. a quantized lm_head) on the exact per-group path
+        params = tree_to_i8_layout(params, predicate=model_i8_predicate,
+                                   consume=True)
     return params
 
 
@@ -357,7 +362,9 @@ def base_load_model(
     params = unflatten(weights)
     if not pre_converted:
         quant_pred = getattr(model, "model_quant_predicate", None)
-        params = apply_quantization(params, config, weights, quant_pred)
+        i8_pred = getattr(model, "model_i8_predicate", None)
+        params = apply_quantization(params, config, weights, quant_pred,
+                                    model_i8_predicate=i8_pred)
 
     if tensor_parallel and tensor_parallel > 1:
         import jax

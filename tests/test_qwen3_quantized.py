@@ -4,12 +4,9 @@ layer axis, and the per-channel W8A8 MXU layout must slice per layer inside
 the scan). Mirrors the reference's apply_quantization surface
 (/root/reference/mlx_audio/utils.py:209-256) on a stacked functional tree."""
 
-import sys
-
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from mlx_audio_tpu.ops.quant import maybe_quantize_tree, tree_to_i8_layout
 from mlx_audio_tpu.tts.models.qwen3_tts import Model
