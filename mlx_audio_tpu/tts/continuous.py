@@ -29,6 +29,12 @@ class TTSBatchOptions:
     # attention streams the whole fixed buffer every frame, so right-sizing
     # this to the deployment's horizon is a first-order throughput knob.
     max_cache_len: Optional[int] = None
+    # prompt prefills admitted per step() call: a burst of submissions is
+    # staggered so already-admitted rows keep decoding (and streaming their
+    # first audio) between admissions instead of waiting behind every
+    # prefill — the round-3 all-at-once admission put b=8 TTFA p50 at
+    # 0.609 s vs the <0.5 s serving bar
+    admits_per_step: int = 2
 
 
 @dataclass

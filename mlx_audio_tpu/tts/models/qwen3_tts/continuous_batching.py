@@ -81,6 +81,10 @@ class Qwen3TTSBatchSession:
         self.codec_states = [None] * self.B
         self.decoded = [0] * self.B
         self.start_times = [0.0] * self.B
+        # (slot, input_embeds, trailing, pad_embed) waiting for admission —
+        # step() admits at most options.admits_per_step of these per call so
+        # already-running rows keep streaming between prompt prefills
+        self._admit_queue: List[tuple] = []
 
     # -- protocol ------------------------------------------------------------
 
@@ -93,7 +97,9 @@ class Qwen3TTSBatchSession:
         return int((~self.active).sum())
 
     def submit(self, request) -> None:
-        """Admit a broker InferenceRequest (text payload) into a free slot."""
+        """Reserve a free slot and queue the prompt for staggered admission
+        (the prefill itself runs inside step(), at most admits_per_step per
+        call, so a burst of submissions never stalls running streams)."""
         slot = int(np.argmax(~self.active))
         if self.active[slot]:
             raise RuntimeError("no free continuous-batch slots")
@@ -105,13 +111,13 @@ class Qwen3TTSBatchSession:
             if not isinstance(text, str) else None,
             language=kwargs.get("language", "auto"),
             speaker=kwargs.get("voice") or kwargs.get("speaker"))
-        self._admit(slot, input_embeds, trailing, pad_embed)
         self.requests[slot] = request
         self.codes[slot] = []
         self.codec_states[slot] = init_stream_state(self.model.dcfg, batch=1)
         self.decoded[slot] = 0
         self.start_times[slot] = time.time()
         self.active[slot] = True
+        self._admit_queue.append((slot, input_embeds, trailing, pad_embed))
 
     def add(self, item: TTSBatchItem) -> None:  # protocol alias
         self.submit(item)
@@ -331,10 +337,21 @@ class Qwen3TTSBatchSession:
         return audio[0]
 
     def step(self) -> List[TTSBatchEvent]:
-        """One compiled multi-frame chunk + per-slot codec streaming."""
+        """One compiled multi-frame chunk + per-slot codec streaming.
+
+        At most options.admits_per_step queued prompts are prefilled first,
+        then every admitted row advances k_frames — staggered admission
+        keeps early streams' audio flowing while later prompts prefill."""
         if self.idle:
             return []
         model = self.model
+        n_admit = max(1, int(getattr(self.options, "admits_per_step", 2)
+                             or 1))
+        for _ in range(min(n_admit, len(self._admit_queue))):
+            slot, ie, tr, pe = self._admit_queue.pop(0)
+            if not self.active[slot]:      # cancelled while queued
+                continue
+            self._admit(slot, ie, tr, pe)
         k_frames = self.frames_per_step
         if self.t + k_frames > self.cache_len:
             # timeline exhausted: flush + finish everything still active

@@ -78,6 +78,52 @@ class TestContinuousSession:
             assert len(audio) % model.total_upsample == 0
             assert np.isfinite(audio).all()
 
+    def test_staggered_admission(self, model):
+        """A burst of submissions admits at most admits_per_step prompts per
+        step; early rows decode (and can stream audio) while later prompts
+        are still queued, and every request still completes."""
+        sess = model.create_tts_batch_session(
+            TTSBatchOptions(max_batch_size=4, max_tokens=8,
+                            streaming_interval=0.4, admits_per_step=1))
+        reqs = [_req(10 + i, 22 + i) for i in range(4)]
+        for r in reqs:
+            sess.submit(r)
+        assert sess.available_slots == 0
+        assert len(sess._admit_queue) == 4
+        sess.step()
+        assert len(sess._admit_queue) == 3   # exactly one admitted
+        # slots reserved but un-admitted never contribute codes
+        assert sum(bool(c) for c in sess.codes) <= 1
+        for _ in range(40):
+            sess.step()
+            if sess.idle:
+                break
+        assert sess.idle
+        for r in reqs:
+            kinds, payloads = _drain(r)
+            assert kinds[-1] == "done"
+            audio = np.concatenate(
+                [p["audio"] for p in payloads if p and "audio" in p])
+            assert len(audio) % model.total_upsample == 0
+
+    def test_cancel_while_queued(self, model):
+        """Cancelling a request that is still waiting for admission must
+        free the slot without ever prefilling it."""
+        sess = model.create_tts_batch_session(
+            TTSBatchOptions(max_batch_size=2, max_tokens=8,
+                            admits_per_step=1))
+        r1, r2 = _req(5, 15), _req(6, 16)
+        sess.submit(r1)
+        sess.submit(r2)
+        sess.cancel(r2.request_id)
+        for _ in range(20):
+            sess.step()
+            if sess.idle:
+                break
+        assert sess.idle
+        kinds, _ = _drain(r1)
+        assert kinds[-1] == "done"
+
     def test_cancel_frees_slot(self, model):
         sess = model.create_tts_batch_session(
             TTSBatchOptions(max_batch_size=2, max_tokens=16))

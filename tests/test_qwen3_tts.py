@@ -144,6 +144,39 @@ class TestGenerate:
         assert model.get_supported_speakers() == []
         assert model.get_supported_languages() == []
 
+    def test_stream_max_tokens_one(self, model):
+        """Budget fully consumed by step 0: the flush-only superstep must
+        still emit the single frame and a final marker."""
+        text_ids = np.arange(10, 25)[None]
+        results = list(model.generate(text_ids=text_ids, temperature=0.0,
+                                      max_tokens=1, stream=True))
+        assert results[-1].is_final_chunk
+        total = sum(r.samples for r in results)
+        assert total == model.total_upsample  # exactly one frame of audio
+
+    def test_stream_stats_recorded(self, model):
+        """The fused stepper records fetch count + host stall for bench
+        introspection; fetches = dispatched chunks (one sync per chunk)."""
+        text_ids = np.arange(10, 25)[None]
+        list(model.generate(text_ids=text_ids, temperature=0.0,
+                            max_tokens=20, stream=True,
+                            streaming_interval=1.0))
+        stats = model._last_stream_stats
+        # chunks: first (8 frames) + 12-frame interval chunks for the rest
+        assert 1 <= stats["n_fetches"] <= 4
+        assert stats["stall_s"] >= 0.0
+
+    def test_stream_token_budget_respected(self, model):
+        """Frames streamed never exceed max_tokens even with speculation."""
+        text_ids = np.arange(10, 25)[None]
+        for mt in (5, 9, 17):
+            results = list(model.generate(text_ids=text_ids, temperature=0.9,
+                                          max_tokens=mt, stream=True,
+                                          streaming_interval=0.4, seed=3))
+            total = sum(r.samples for r in results)
+            assert total <= mt * model.total_upsample
+            assert results[-1].is_final_chunk
+
 
 class TestSanitize:
     def test_codebook_reconstruction(self, model):
