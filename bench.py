@@ -93,7 +93,7 @@ def bench_kokoro():
         frontend, acoustic = model._get_jits()
         fargs = (model.params, jnp.asarray(ids), jnp.asarray(valid),
                  jnp.asarray(ref_s), jnp.float32(1.0))
-        d, t_en, pred_dur = frontend(*fargs)
+        d, t_en, pred_dur, _total = frontend(*fargs)
         fb = _bucket(int(jnp.sum(pred_dur)), FRAME_BUCKETS)
         flops = 0.0
         for fn, args, kw in (

@@ -72,16 +72,20 @@ def fold_weight_norm(g, v):
 
 
 def instance_norm(x: Array, valid: Optional[Array] = None, eps: float = 1e-5) -> Array:
-    """IN over the time axis of (B, T, C); masked stats when valid (B, T) given."""
+    """IN over the time axis of (B, T, C); masked stats when valid (B, T) given.
+
+    Stats accumulate in f32 regardless of activation dtype (bf16-safe: a
+    491k-step sum in bf16 loses ~all mantissa bits)."""
+    xf = x.astype(jnp.float32)
     if valid is None:
-        mean = jnp.mean(x, axis=-2, keepdims=True)
-        var = jnp.var(x, axis=-2, keepdims=True)
+        mean = jnp.mean(xf, axis=-2, keepdims=True)
+        var = jnp.var(xf, axis=-2, keepdims=True)
     else:
-        m = valid[..., None].astype(x.dtype)
+        m = valid[..., None].astype(jnp.float32)
         count = jnp.maximum(jnp.sum(m, axis=-2, keepdims=True), 1.0)
-        mean = jnp.sum(x * m, axis=-2, keepdims=True) / count
-        var = jnp.sum(((x - mean) ** 2) * m, axis=-2, keepdims=True) / count
-    return (x - mean) * jax.lax.rsqrt(var + eps)
+        mean = jnp.sum(xf * m, axis=-2, keepdims=True) / count
+        var = jnp.sum(((xf - mean) ** 2) * m, axis=-2, keepdims=True) / count
+    return ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
 
 
 def init_adain(key, style_dim: int, num_features: int) -> dict:
@@ -229,6 +233,8 @@ def _istft_from_mag_phase(mag: Array, phase: Array, n_fft: int, hop: int):
 
     w_np = _window_np("hann", n_fft, True)  # periodic, ref istft
     w = jnp.asarray(w_np)
+    mag = mag.astype(jnp.float32)     # irfft needs f32; bins are tiny vs the
+    phase = phase.astype(jnp.float32)  # conv stack, so f32 here is free
     real = mag * jnp.cos(phase)
     imag = mag * jnp.sin(phase)
     from ....dsp import irfft_pair
@@ -363,16 +369,19 @@ def generator(
     num_up = len(rates)
     total_up = math.prod(rates) * hop
 
-    # --- harmonic excitation at audio rate
-    f0_up = interpolate1d(f0_curve[..., None], scale_factor=float(total_up),
-                          mode="nearest")
+    # --- harmonic excitation at audio rate (f32 end to end: the NSF phase
+    # cumsum over ~500k steps needs the mantissa; bins are few, so cheap)
+    f0_up = interpolate1d(
+        f0_curve[..., None].astype(jnp.float32),
+        scale_factor=float(total_up), mode="nearest")
     src_key = None if key is None else jax.random.fold_in(key, 1)
     har = harmonic_source(p["m_source"], f0_up, 24000, total_up, key=src_key)
     if valid is not None:
         sample_valid = jnp.repeat(valid, total_up, axis=-1)
         har = jnp.where(sample_valid, har, 0.0)
     mag, phase = _stft_mag_phase(har, n_fft, hop)
-    har_spec = jnp.concatenate([mag, phase], axis=-1)  # (B, frames, n_fft+2)
+    # joins the conv stack at its compute dtype
+    har_spec = jnp.concatenate([mag, phase], axis=-1).astype(x.dtype)
 
     cur_valid = valid
     for i in range(num_up):
@@ -469,11 +478,17 @@ def decoder_forward(
     """asr (B, F, C), f0/n (B, 2F), s (B, style) -> audio (B, samples).
 
     Parity: Decoder.__call__ (istftnet.py:947-974).
+
+    Compute dtype follows `asr` (the acoustic stage casts it to the model's
+    compute_dtype); f0/n curves stay f32 for the harmonic source's phase
+    integral and are cast only for their conv branches.
     """
-    f0_d = apply_conv_weighted(p["F0_conv"], f0_curve[..., None], stride=2,
+    cdt = asr.dtype
+    f0_d = apply_conv_weighted(p["F0_conv"],
+                               f0_curve[..., None].astype(cdt), stride=2,
                                padding=1)
-    n_d = apply_conv_weighted(p["N_conv"], n_curve[..., None], stride=2,
-                              padding=1)
+    n_d = apply_conv_weighted(p["N_conv"], n_curve[..., None].astype(cdt),
+                              stride=2, padding=1)
     f0_d = _mask(f0_d, frame_valid)
     n_d = _mask(n_d, frame_valid)
     x = jnp.concatenate([asr, f0_d, n_d], axis=-1)

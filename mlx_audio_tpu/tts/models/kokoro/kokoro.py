@@ -81,6 +81,17 @@ class ModelConfig(BaseModelArgs):
     # internal width knobs (checkpoint values; overridable for tiny tests)
     decoder_bottleneck: int = 1024
     decoder_res_dim: int = 64
+    # acoustic-stage compute dtype. The ISTFTNet conv stack is activation-
+    # bandwidth-bound (profiled 545 ms of a 1.01 s synth at f32 on v5e);
+    # bf16 halves every activation read/write. Numerically-sensitive pieces
+    # stay f32 regardless: instance-norm statistics, the NSF harmonic-source
+    # phase integral, and the final ISTFT (istftnet.py). Set "float32" for
+    # bit-exact parity with the f32 reference.
+    compute_dtype: str = "bfloat16"
+    # device->host dtype for the synthesized waveform. f16 halves the
+    # transfer (the tunnel D2H link measured ~35 MB/s) at ~90 dB SNR on
+    # [-1, 1] audio — above PCM16. The public API still returns f32.
+    transfer_dtype: str = "float16"
 
 
 _LSTM_SUFFIX_MAP = {
@@ -95,7 +106,11 @@ _LSTM_SUFFIX_MAP = {
 }
 
 TOKEN_BUCKETS = (32, 64, 128, 256, 512)
-FRAME_BUCKETS = (128, 256, 512, 1024, 2048, 4096)
+# 8192 frames = 204 s of audio: a 510-token segment at the published
+# model's ~10-16 frames/token average can exceed 4096, so the top bucket
+# must cover the worst realistic segment (beyond it the synth is clamped
+# with a warning rather than silently truncated).
+FRAME_BUCKETS = (128, 256, 512, 1024, 2048, 4096, 8192)
 
 
 def _bucket(n: int, buckets) -> int:
@@ -237,21 +252,42 @@ class Model(FunctionalModel):
         pred_dur = predict_durations(params["predictor"], d, valid, speed)
         t_en = text_encoder(params["text_encoder"], ids, valid,
                             cfg.text_encoder_kernel_size)
-        return d, t_en, pred_dur
+        # total frame count rides along so the host's bucket-pick sync is
+        # ONE scalar fetch of this program's output (no extra dispatch+RTT)
+        return d, t_en, pred_dur, jnp.sum(pred_dur)
 
     def _run_acoustic(self, params, d, t_en, pred_dur, ref_s, num_frames, key):
-        """Alignment -> prosody -> decode. num_frames is static (bucket)."""
-        s = ref_s[:, self.config.style_dim:]
-        style = ref_s[:, : self.config.style_dim]
+        """Alignment -> prosody -> decode. num_frames is static (bucket).
+
+        The decoder subtree + its inputs are cast to config.compute_dtype
+        (default bf16 — the conv stack is activation-bandwidth-bound);
+        prosody (F0/N LSTMs) stays f32, it is ~5% of the stage. The waveform
+        is returned in config.transfer_dtype to halve the D2H fetch.
+        """
+        cfg = self.config
+        s = ref_s[:, cfg.style_dim:]
+        style = ref_s[:, : cfg.style_dim]
         total = jnp.sum(pred_dur, axis=-1)  # (B,)
         frame_valid = jnp.arange(num_frames)[None, :] < total[:, None]
         aln = build_alignment(pred_dur, num_frames)  # (B, L, F)
         en = jnp.einsum("blf,blc->bfc", aln, d)
         f0, n = f0n_train(params["predictor"], en, s, frame_valid)
         asr = jnp.einsum("blf,blc->bfc", aln, t_en)
-        audio = decoder_forward(params["decoder"], self.istft_cfg, asr, f0, n,
-                                style, frame_valid, key=key)
-        return audio, total
+        cdt = jnp.dtype(cfg.compute_dtype)
+        dec = params["decoder"]
+        if cdt != jnp.float32:
+            dec = jax.tree.map(
+                lambda w: w.astype(cdt)
+                if jnp.issubdtype(w.dtype, jnp.floating) else w, dec)
+        audio = decoder_forward(dec, self.istft_cfg, asr.astype(cdt), f0, n,
+                                style.astype(cdt), frame_valid, key=key)
+        tdt = jnp.dtype(cfg.transfer_dtype)
+        if tdt == jnp.float16:
+            # real checkpoints emit [-1, 1] audio, where f16 is a no-op with
+            # ~90 dB SNR; clamp to the finite range so out-of-spec weights
+            # (e.g. random init in tests) degrade to clipping, never inf
+            audio = jnp.clip(audio, -65504.0, 65504.0)
+        return audio.astype(tdt), total
 
     def _get_jits(self):
         if self._frontend_jit is None:
@@ -295,15 +331,26 @@ class Model(FunctionalModel):
         if ref_s.ndim == 1:
             ref_s = ref_s[None]
         speed_arr = jnp.float32(speed)
-        d, t_en, pred_dur = frontend(self.params, jnp.asarray(ids),
-                                     jnp.asarray(valid), ref_s, speed_arr)
-        total_frames = int(jnp.sum(pred_dur))  # the one host sync
+        d, t_en, pred_dur, total_dev = frontend(
+            self.params, jnp.asarray(ids), jnp.asarray(valid), ref_s,
+            speed_arr)
+        total_frames = int(total_dev)  # the one host sync (scalar fetch)
+        if total_frames > FRAME_BUCKETS[-1] and not tight:
+            import warnings
+
+            warnings.warn(
+                f"Kokoro segment predicts {total_frames} frames "
+                f"(> max bucket {FRAME_BUCKETS[-1]}); clamping to "
+                f"{FRAME_BUCKETS[-1] / 12.5:.0f}s of audio — split the text "
+                f"into shorter segments (split_pattern).")
+            total_frames = FRAME_BUCKETS[-1]
         fb = total_frames if tight else _bucket(total_frames, FRAME_BUCKETS)
         key = None if deterministic_noise else jax.random.PRNGKey(seed)
         audio, total = acoustic(self.params, d, t_en, pred_dur, ref_s,
                                 num_frames=fb, key=key)
         samples = total_frames * self.samples_per_frame
-        return np.asarray(audio[0][:samples]), pred_dur
+        return (np.asarray(audio[0][:samples], dtype=np.float32),
+                pred_dur)
 
     def generate(
         self,

@@ -119,6 +119,49 @@ class TestSanitize:
             np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
 
 
+class TestComputeDtype:
+    def test_bf16_acoustic_matches_f32(self, model, ref_s):
+        """The default bf16 acoustic stage (compute_dtype='bfloat16') must
+        track the f32 path closely: stats/ISTFT/source stay f32 by design
+        (istftnet.py), so only conv/matmul rounding differs. Transfer is
+        kept f32 here because random-init weights emit audio far outside
+        f16 range (~1e10) — the f16 transfer path has its own test below."""
+        a32, _ = model("hɛlO wɜɹld", ref_s, deterministic_noise=True)
+        old_c, old_t = model.config.compute_dtype, model.config.transfer_dtype
+        model.config.compute_dtype = "bfloat16"
+        model.config.transfer_dtype = "float32"
+        model._acoustic_jit = None
+        model._frontend_jit = None
+        try:
+            a16, _ = model("hɛlO wɜɹld", ref_s, deterministic_noise=True)
+        finally:
+            model.config.compute_dtype, model.config.transfer_dtype = old_c, old_t
+            model._acoustic_jit = None
+            model._frontend_jit = None
+        assert a16.dtype == np.float32        # public API stays f32
+        assert a16.shape == a32.shape
+        scale = np.abs(a32).max() + 1e-9
+        rel = np.abs(a16 - a32).max() / scale
+        # bf16 conv rounding through a deep residual stack; keep a loose but
+        # meaningful bound (uncorrelated outputs would be ~2.0)
+        assert rel < 0.15, rel
+        corr = np.corrcoef(a16, a32)[0, 1]
+        assert corr > 0.999, corr
+
+    def test_f16_transfer_snr_and_clamp(self):
+        """f16 D2H on [-1, 1] audio keeps >60 dB SNR (above PCM16 program
+        material); out-of-range values clamp to ±65504 instead of inf —
+        the guard in Model._run_acoustic (kokoro.py)."""
+        rng = np.random.RandomState(0)
+        wav = np.tanh(rng.randn(24000).astype(np.float32))  # [-1, 1]
+        w16 = np.clip(wav, -65504.0, 65504.0).astype(np.float16)
+        err = wav - w16.astype(np.float32)
+        snr = 10 * np.log10((wav ** 2).mean() / max((err ** 2).mean(), 1e-30))
+        assert snr > 60.0, snr
+        big = np.float32(1e10)
+        assert np.isfinite(np.clip(big, -65504.0, 65504.0).astype(np.float16))
+
+
 class TestPipeline:
     def test_generate_with_fallback_g2p(self, model, ref_s, tmp_path):
         # build a fake voice pack on disk

@@ -44,4 +44,8 @@ def tiny_kokoro_config():
         vocab=TINY_VOCAB,
         decoder_bottleneck=24,
         decoder_res_dim=8,
+        # exactness-sensitive tests (bucket invariance, sanitize roundtrip)
+        # run the f32 path; bf16-vs-f32 agreement has its own test
+        compute_dtype="float32",
+        transfer_dtype="float32",
     )

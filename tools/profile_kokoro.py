@@ -75,7 +75,8 @@ def main():
     speed = jnp.float32(1.0)
 
     # warm compile for both stages
-    d, t_en, pred_dur = frontend(model.params, ids_d, valid_d, ref_s, speed)
+    d, t_en, pred_dur, _tot = frontend(model.params, ids_d, valid_d, ref_s,
+                                       speed)
     total_frames = int(jnp.sum(pred_dur))
     fb = _bucket(total_frames, FRAME_BUCKETS)
     audio, total = acoustic(model.params, d, t_en, pred_dur, ref_s,
@@ -111,9 +112,7 @@ def main():
     @jax.jit
     def frontend_loop(p, ids, valid, ref, speed):
         def body(i, carry):
-            d, t_en, pd = model._run_frontend(p, ids + 0 * i, valid, ref,
-                                              speed)
-            return (d, t_en, pd)
+            return model._run_frontend(p, ids + 0 * i, valid, ref, speed)
         return jax.lax.fori_loop(0, N, body, model._run_frontend(
             p, ids, valid, ref, speed))
 
