@@ -57,13 +57,16 @@ def apply_conv_weighted(p: dict, x: Array, stride: int = 1, padding: int = 0,
 
 
 def fold_weight_norm(g, v):
-    """w = g * v / ||v||, norm over all dims except 0 (torch weight_norm dim=0)."""
-    import numpy as np
+    """w = g * v / ||v||, norm over all dims except 0 (torch weight_norm dim=0).
 
-    g = np.asarray(g, dtype=np.float32)
-    v = np.asarray(v, dtype=np.float32)
-    norm = np.sqrt(np.sum(v * v, axis=tuple(range(1, v.ndim)), keepdims=True))
-    return (g * v / np.maximum(norm, 1e-12)).astype(np.float32)
+    jnp (not numpy) so sanitize() is jax.eval_shape-traceable — the
+    checkpoint-manifest tests validate full-size key mapping as pure
+    shape metadata without materializing weights."""
+    g = jnp.asarray(g, dtype=jnp.float32)
+    v = jnp.asarray(v, dtype=jnp.float32)
+    norm = jnp.sqrt(jnp.sum(v * v, axis=tuple(range(1, v.ndim)),
+                            keepdims=True))
+    return (g * v / jnp.maximum(norm, 1e-12)).astype(jnp.float32)
 
 
 # ---------------------------------------------------------------------------

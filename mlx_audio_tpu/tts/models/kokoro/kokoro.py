@@ -193,7 +193,7 @@ class Model(FunctionalModel):
             if key.endswith("weight_v"):
                 base = key[: -len(".weight_v")]
                 g = gs.get(base + ".weight_g")
-                folded = fold_weight_norm(g, w) if g is not None else np.asarray(w)
+                folded = fold_weight_norm(g, w) if g is not None else jnp.asarray(w)
                 if ".pool" in base:
                     groups = folded.shape[0]
                     out[base + ".weight"] = convert_torch_conv_transpose_weight(

@@ -135,6 +135,11 @@ class Model(FunctionalModel):
             "speech_tokenizer": {"decoder": init_tokenizer_decoder(k2, self.dcfg)},
         }
 
+    # published checkpoints ship the codec in a speech_tokenizer/ subfolder
+    # (own config.json + safetensors, keys decoder.* / encoder.*); the
+    # loader merges them under this prefix before sanitize (utils.py).
+    WEIGHT_SUBDIRS = {"speech_tokenizer": "speech_tokenizer."}
+
     def sanitize(self, weights):
         """Map torch checkpoint keys/layouts into the functional tree.
 
@@ -143,7 +148,8 @@ class Model(FunctionalModel):
         (embedding_sum / cluster_usage — reference speech_tokenizer.py:1438).
         The encoder branch (ICL voice cloning) maps onto the shared Mimi tree
         under speech_tokenizer.encoder; speaker_encoder.* maps onto the
-        functional ECAPA tree.
+        functional ECAPA tree. jnp-only on values so the whole mapping is
+        jax.eval_shape-traceable (tests/test_checkpoint_manifests.py).
         """
         from ....nn.layers import convert_torch_conv_transpose_weight
         from .speaker_encoder import sanitize_speaker_encoder
@@ -153,15 +159,16 @@ class Model(FunctionalModel):
         out.update(self._sanitize_ref_encoder(weights))
         out.update(sanitize_speaker_encoder(weights))
         for k, w in weights.items():
-            if k.startswith(("encoder.", "speaker_encoder.")):
+            if k.startswith(("encoder.", "speaker_encoder.",
+                             "speech_tokenizer.encoder.")):
                 continue
             if "_codebook.cluster_usage" in k or "_codebook.embedding_sum" in k:
                 base = k.rsplit("._codebook.", 1)[0]
                 codebooks.setdefault(base, {})[
                     "cluster_usage" if "cluster_usage" in k else "embedding_sum"
-                ] = np.asarray(w)
+                ] = w
                 continue
-            if ".codebook.initialized" in k:
+            if ".codebook.initialized" in k or "_codebook.initialized" in k:
                 continue
             if k.endswith("conv.weight") and w.ndim == 3:
                 is_tconv = ("upsample" in k and ".0.conv.weight" in k) or (
@@ -177,9 +184,9 @@ class Model(FunctionalModel):
             out[k] = w
         for base, data in codebooks.items():
             if "cluster_usage" in data and "embedding_sum" in data:
-                emb = data["embedding_sum"] / np.clip(
-                    data["cluster_usage"][:, None], 1e-5, None)
-                out[f"{base}.codebook.embed.weight"] = jnp.asarray(emb)
+                emb = jnp.asarray(data["embedding_sum"]) / jnp.clip(
+                    jnp.asarray(data["cluster_usage"])[:, None], 1e-5, None)
+                out[f"{base}.codebook.embed.weight"] = emb
         return self._stack_scanned(out)
 
     @staticmethod
@@ -216,8 +223,16 @@ class Model(FunctionalModel):
     @staticmethod
     def _sanitize_ref_encoder(weights) -> dict:
         """encoder.* HF keys -> speech_tokenizer.encoder.<mimi tree>
-        (reference speech_tokenizer.py sanitize :1225-1444)."""
+        (reference speech_tokenizer.py sanitize :1225-1444).
+
+        Accepts both bare `encoder.*` keys (converted checkpoints) and the
+        `speech_tokenizer.encoder.*` form the loader's WEIGHT_SUBDIRS merge
+        produces from the published subfolder layout."""
         P = "speech_tokenizer.encoder."
+        weights = {
+            (k[len("speech_tokenizer."):]
+             if k.startswith("speech_tokenizer.encoder.") else k): w
+            for k, w in weights.items()}
         seanet_conv_map = {
             0: "encoder.init_conv1d.conv", 3: "encoder.layers.0.downsample.conv",
             6: "encoder.layers.1.downsample.conv",
@@ -294,7 +309,7 @@ class Model(FunctionalModel):
                         base = f"{rvq}.{m.group(1)}"
                         cb.setdefault(base, {})[
                             "cluster_usage" if "cluster_usage" in rest
-                            else "embedding_sum"] = np.asarray(w)
+                            else "embedding_sum"] = w
                 elif ".codebook.initialized" in rest:
                     continue
                 elif "input_proj.weight" in rest or "output_proj.weight" in rest:
@@ -311,10 +326,10 @@ class Model(FunctionalModel):
         for base, data in cb.items():
             if {"cluster_usage", "embedding_sum"} <= set(data):
                 rvq, li = base.split(".")
-                emb = data["embedding_sum"] / np.clip(
-                    data["cluster_usage"][:, None], 1e-5, None)
+                emb = jnp.asarray(data["embedding_sum"]) / jnp.clip(
+                    jnp.asarray(data["cluster_usage"])[:, None], 1e-5, None)
                 out[f"{P}quantizer.{rvq}.vq.layers.{li}.codebook."
-                    f"embed.weight"] = jnp.asarray(emb)
+                    f"embed.weight"] = emb
         return out
 
     @classmethod
@@ -325,6 +340,27 @@ class Model(FunctionalModel):
             model.tokenizer = AutoTokenizer.from_pretrained(str(model_path))
         except Exception:
             model.tokenizer = None
+        # Published checkpoints carry the codec's config in
+        # speech_tokenizer/config.json (reference qwen3_tts.py:2850-2878);
+        # rebuild the tokenizer config from it so non-default decoder dims
+        # drive the compiled codec path. Runs before any jit is built.
+        st_cfg = None
+        try:
+            import json as _json
+            from pathlib import Path as _Path
+
+            cfg_path = _Path(model_path) / "speech_tokenizer" / "config.json"
+            if cfg_path.exists():
+                st_cfg = _json.loads(cfg_path.read_text())
+        except Exception:
+            st_cfg = None
+        if st_cfg:
+            from .config import Qwen3TTSTokenizerConfig, _filter
+
+            model.config.tokenizer_config = Qwen3TTSTokenizerConfig(
+                **_filter(Qwen3TTSTokenizerConfig, st_cfg))
+            model.dcfg = model.config.tokenizer_config.decoder_config
+            model.total_upsample = total_upsample(model.dcfg)
         return model
 
     @property

@@ -355,6 +355,21 @@ def base_load_model(
     model = module.Model(model_config)
 
     weights = load_weights(model_path, dtype=dtype)
+    # Families whose published checkpoints ship extra weight files in
+    # subfolders declare WEIGHT_SUBDIRS = {"subdir": "key_prefix."} on the
+    # Model class; the subfolder's tensors are merged under the prefix so
+    # one sanitize() sees the whole checkpoint (e.g. qwen3_tts ships its
+    # codec in speech_tokenizer/ — reference qwen3_tts.py:2850 loads it in
+    # post_load_hook instead).
+    for subdir, prefix in getattr(module.Model, "WEIGHT_SUBDIRS",
+                                  {}).items():
+        sub = Path(model_path) / subdir
+        if sub.is_dir():
+            try:
+                extra = load_weights(sub, dtype=dtype)
+            except FileNotFoundError:
+                continue
+            weights.update({prefix + k: v for k, v in extra.items()})
     pre_converted = config.get("converted_by") == "mlx_audio_tpu.convert"
     if hasattr(model, "sanitize") and not pre_converted:
         weights = model.sanitize(weights)
