@@ -604,9 +604,56 @@ class Model(FunctionalModel):
 
     # ---------------------------------------------------------- loading
 
-    def sanitize(self, weights: Dict) -> Dict:
+    # published mistralai consolidated.safetensors prefixes
+    # (reference voxtral_realtime.py:474-557 consumes exactly these)
+    _ENC_PREFIX = "mm_streams_embeddings.embedding_module.whisper_encoder"
+    _ADAPTER_PREFIX = "mm_streams_embeddings.embedding_module"
+
+    @classmethod
+    def _remap_consolidated(cls, weights: Dict) -> Dict:
+        """mistral consolidated.safetensors keys -> our functional tree
+        names (reference voxtral_realtime.py:474-557). No-op for already
+        converted checkpoints (no mm_streams_embeddings keys)."""
+        if not any(k.startswith(("mm_streams_embeddings.", "layers."))
+                   for k in weights):
+            return weights
+        enc, ad = cls._ENC_PREFIX, cls._ADAPTER_PREFIX
         out = {}
         for k, v in weights.items():
+            if k == f"{ad}.tok_embeddings.weight":
+                out["decoder.tok_embeddings.weight"] = v
+            elif k == "norm.weight":
+                out["decoder.norm.weight"] = v
+            elif k.startswith(f"{enc}.conv_layers."):
+                idx, _, param = k[len(f"{enc}.conv_layers."):].split(".", 2)
+                out[f"encoder.conv_layers_{idx}_conv.conv.{param}"] = v
+            elif k.startswith(f"{enc}.transformer.layers."):
+                idx, rest = k[len(f"{enc}.transformer.layers."):] \
+                    .split(".", 1)
+                rest = rest.replace("feed_forward.w", "feed_forward_w")
+                out[f"encoder.transformer_layers.{idx}.{rest}"] = v
+            elif k.startswith(f"{enc}.transformer.norm."):
+                out["encoder.transformer_norm."
+                    + k[len(f"{enc}.transformer.norm."):]] = v
+            elif k.startswith(f"{ad}.audio_language_projection."):
+                idx, param = k[len(f"{ad}.audio_language_projection."):] \
+                    .split(".", 1)
+                out[f"encoder.audio_language_projection_{idx}.{param}"] = v
+            elif k.startswith("layers."):
+                idx, rest = k[len("layers."):].split(".", 1)
+                rest = rest.replace("feed_forward.w", "feed_forward_w")
+                rest = rest.replace("ada_rms_norm_t_cond.0.",
+                                    "ada_rms_norm_t_cond.ada_down.")
+                rest = rest.replace("ada_rms_norm_t_cond.2.",
+                                    "ada_rms_norm_t_cond.ada_up.")
+                out[f"decoder.layers.{idx}.{rest}"] = v
+            else:
+                out[k] = v
+        return out
+
+    def sanitize(self, weights: Dict) -> Dict:
+        out = {}
+        for k, v in self._remap_consolidated(weights).items():
             v = jnp.asarray(v)
             if "conv" in k and k.endswith("weight") and v.ndim == 3 \
                     and v.shape[0] != 3:

@@ -274,8 +274,15 @@ class Model(FunctionalModel):
         return init_higgs_v2(key, self.config)
 
     def sanitize(self, weights):
-        return {k: jnp.asarray(v) for k, v in weights.items()
-                if not k.endswith("rotary_emb.inv_freq")}
+        out = {k: jnp.asarray(v) for k, v in weights.items()
+               if not k.endswith("rotary_emb.inv_freq")}
+        # tie_word_embeddings=True (reference config.py:29): the published
+        # checkpoint omits the text head — alias the embedding buffer
+        # (zero-copy: both leaves reference one device array).
+        tied = "audio_decoder_proj.text_lm_head.weight"
+        if tied not in out and "embed_tokens.weight" in out:
+            out[tied] = out["embed_tokens.weight"]
+        return out
 
     def model_quant_predicate(self, path, w):
         """Audio head + codebook embeddings stay unquantized

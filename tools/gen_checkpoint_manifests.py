@@ -480,10 +480,155 @@ def qwen3_tts_manifest():
     }
 
 
+# ---------------------------------------------------------------------------
+# Higgs Audio v2 3B — bosonai/higgs-audio-v2-generation-3B-base.
+# The reference's sanitize is a pass-through (reference higgs_audio.py:257-264:
+# "Higgs's safetensors already use HuggingFace Llama naming with the
+# Higgs-specific audio_* additions"), so the published keys ARE the module
+# tree: bare (no 'model.' prefix) Llama layers with dual-FFN audio_* variants
+# on every layer (config.py:54-56: all 28), plus codebook embeddings and the
+# two projector heads. tie_word_embeddings=True (config.py:29) — the text head
+# is tied to embed_tokens and not serialized.
+# ---------------------------------------------------------------------------
+
+
+def higgs_v2_manifest(cfg=None):
+    from mlx_audio_tpu.tts.models.higgs_audio.higgs_audio import ModelConfig
+
+    if cfg is None:
+        cfg = ModelConfig()
+    t = cfg.text
+    m = {}
+    H, I, V = t.hidden_size, t.intermediate_size, t.vocab_size
+    hd = t.head_dim
+    m["embed_tokens.weight"] = [V, H]
+    m["audio_codebook_embeddings.weight"] = [
+        cfg.audio_num_codebooks * cfg.stride, H]
+    for i in range(t.num_hidden_layers):
+        p = f"layers.{i}"
+        _rms(f"{p}.input_layernorm", H, m)
+        _rms(f"{p}.audio_input_layernorm", H, m)
+        m[f"{p}.self_attn.q_proj.weight"] = [t.num_attention_heads * hd, H]
+        m[f"{p}.self_attn.k_proj.weight"] = [t.num_key_value_heads * hd, H]
+        m[f"{p}.self_attn.v_proj.weight"] = [t.num_key_value_heads * hd, H]
+        m[f"{p}.self_attn.o_proj.weight"] = [H, t.num_attention_heads * hd]
+        _rms(f"{p}.post_attention_layernorm", H, m)
+        _rms(f"{p}.audio_post_attention_layernorm", H, m)
+        for mlp in ("mlp", "audio_mlp"):
+            m[f"{p}.{mlp}.gate_proj.weight"] = [I, H]
+            m[f"{p}.{mlp}.up_proj.weight"] = [I, H]
+            m[f"{p}.{mlp}.down_proj.weight"] = [H, I]
+    _rms("norm", H, m)
+    # text_lm_head is TIED (absent from the file); audio head is real
+    m["audio_decoder_proj.audio_lm_head.weight"] = [
+        cfg.audio_num_codebooks * cfg.stride, H]
+    return m
+
+
+# ---------------------------------------------------------------------------
+# Higgs Audio v3 4B — published layout uses 'tied.'/'body.' prefixes that the
+# reference remaps (reference higgs_audio_v3/model.py:111-133): Qwen3-style
+# backbone (q/k/norm per layer) under body.layers.*, text embedding + fused
+# audio codebook table under tied.embedding.*, tied.head.* dropped.
+# ---------------------------------------------------------------------------
+
+
+def higgs_v3_manifest(cfg=None):
+    from mlx_audio_tpu.tts.models.higgs_audio_v3.higgs_audio_v3 import (
+        ModelConfig)
+
+    if cfg is None:
+        cfg = ModelConfig()
+    t = cfg.text_config
+    m = {}
+    H, I, hd = t.hidden_size, t.intermediate_size, t.head_dim
+    m["tied.embedding.text_embedding.weight"] = [t.vocab_size, H]
+    m["tied.embedding.modality_embeddings.0.embedding.weight"] = [
+        cfg.audio_num_codebooks * cfg.audio_codebook_size, H]
+    # dropped groups the reference skips explicitly (model.py:126-131)
+    m["tied.head.weight"] = [t.vocab_size, H]
+    for i in range(t.num_hidden_layers):
+        p = f"body.layers.{i}"
+        m[f"{p}.self_attn.q_proj.weight"] = [t.num_attention_heads * hd, H]
+        m[f"{p}.self_attn.k_proj.weight"] = [t.num_key_value_heads * hd, H]
+        m[f"{p}.self_attn.v_proj.weight"] = [t.num_key_value_heads * hd, H]
+        m[f"{p}.self_attn.o_proj.weight"] = [H, t.num_attention_heads * hd]
+        _rms(f"{p}.self_attn.q_norm", hd, m)
+        _rms(f"{p}.self_attn.k_norm", hd, m)
+        m[f"{p}.mlp.gate_proj.weight"] = [I, H]
+        m[f"{p}.mlp.up_proj.weight"] = [I, H]
+        m[f"{p}.mlp.down_proj.weight"] = [H, I]
+        _rms(f"{p}.input_layernorm", H, m)
+        _rms(f"{p}.post_attention_layernorm", H, m)
+    _rms("body.norm", H, m)
+    return m
+
+
+# ---------------------------------------------------------------------------
+# Voxtral Realtime — mistralai consolidated.safetensors layout (reference
+# voxtral_realtime.py:474-557): whisper-style encoder with selective biases
+# (encoder.py:57-61: wq/wv/wo yes, wk no; w2 only in FFN) under
+# mm_streams_embeddings.embedding_module.whisper_encoder.*, bias-free GQA
+# decoder (decoder.py:89-92) under bare layers.*, tied tok_embeddings.
+# ---------------------------------------------------------------------------
+
+
+def voxtral_realtime_manifest(cfg=None):
+    from mlx_audio_tpu.stt.models.voxtral_realtime.voxtral_realtime import (
+        ModelConfig)
+
+    if cfg is None:
+        cfg = ModelConfig()
+    e, d, a = cfg.encoder_args, cfg.decoder, cfg.audio_encoding_args
+    m = {}
+    ENC = "mm_streams_embeddings.embedding_module.whisper_encoder"
+    AD = "mm_streams_embeddings.embedding_module"
+    _conv(f"{ENC}.conv_layers.0.conv", e.dim, a.num_mel_bins, 3, m)
+    _conv(f"{ENC}.conv_layers.1.conv", e.dim, e.dim, 3, m)
+    attn_dim = e.n_heads * e.head_dim
+    for i in range(e.n_layers):
+        p = f"{ENC}.transformer.layers.{i}"
+        _rms(f"{p}.attention_norm", e.dim, m)
+        _linear(f"{p}.attention.wq", attn_dim, e.dim, m)
+        m[f"{p}.attention.wk.weight"] = [attn_dim, e.dim]
+        _linear(f"{p}.attention.wv", attn_dim, e.dim, m)
+        _linear(f"{p}.attention.wo", e.dim, attn_dim, m)
+        _rms(f"{p}.ffn_norm", e.dim, m)
+        m[f"{p}.feed_forward.w1.weight"] = [e.hidden_dim, e.dim]
+        m[f"{p}.feed_forward.w3.weight"] = [e.hidden_dim, e.dim]
+        _linear(f"{p}.feed_forward.w2", e.dim, e.hidden_dim, m)
+    _rms(f"{ENC}.transformer.norm", e.dim, m)
+    m[f"{AD}.audio_language_projection.0.weight"] = [
+        d.dim, e.dim * e.downsample_factor]
+    m[f"{AD}.audio_language_projection.2.weight"] = [d.dim, d.dim]
+    m[f"{AD}.tok_embeddings.weight"] = [d.vocab_size, d.dim]
+    q_dim, kv_dim = d.n_heads * d.head_dim, d.n_kv_heads * d.head_dim
+    for i in range(d.n_layers):
+        p = f"layers.{i}"
+        _rms(f"{p}.attention_norm", d.dim, m)
+        m[f"{p}.attention.wq.weight"] = [q_dim, d.dim]
+        m[f"{p}.attention.wk.weight"] = [kv_dim, d.dim]
+        m[f"{p}.attention.wv.weight"] = [kv_dim, d.dim]
+        m[f"{p}.attention.wo.weight"] = [d.dim, q_dim]
+        _rms(f"{p}.ffn_norm", d.dim, m)
+        m[f"{p}.feed_forward.w1.weight"] = [d.hidden_dim, d.dim]
+        m[f"{p}.feed_forward.w3.weight"] = [d.hidden_dim, d.dim]
+        m[f"{p}.feed_forward.w2.weight"] = [d.dim, d.hidden_dim]
+        m[f"{p}.ada_rms_norm_t_cond.0.weight"] = [
+            d.ada_rms_norm_t_cond_dim, d.dim]
+        m[f"{p}.ada_rms_norm_t_cond.2.weight"] = [
+            d.dim, d.ada_rms_norm_t_cond_dim]
+    m["norm.weight"] = [d.dim]
+    return m
+
+
 GENERATORS = {
     "kokoro": kokoro_manifest,
     "whisper_large_v3_turbo": whisper_turbo_manifest,
     "qwen3_tts": qwen3_tts_manifest,
+    "higgs_audio_v2": higgs_v2_manifest,
+    "higgs_audio_v3": higgs_v3_manifest,
+    "voxtral_realtime": voxtral_realtime_manifest,
 }
 
 
