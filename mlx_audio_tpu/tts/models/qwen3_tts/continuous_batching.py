@@ -320,6 +320,37 @@ class Qwen3TTSBatchSession:
 
         return jax.jit(chunk, donate_argnums=(1,))
 
+    def shard_for_mesh(self, mesh, axis: str = "dp") -> None:
+        """Lay the session out for data-parallel serving on a device mesh:
+        params replicated, every per-slot state array sharded on its batch
+        axis (one slot group per device). The compiled multi-frame step then
+        runs SPMD with no cross-device collectives in the hot loop — each
+        row's KV, masks and sampling state are row-local (SURVEY §2.10 DP
+        plan; exercised by __graft_entry__.dryrun_multichip leg 6)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n = mesh.shape[axis]
+        if self.B % n:
+            raise ValueError(
+                f"max_batch_size={self.B} not divisible by mesh "
+                f"axis {axis}={n}")
+        rep = NamedSharding(mesh, P())
+
+        def dp(x, batch_axis=0):
+            spec = [None] * x.ndim
+            spec[batch_axis] = axis
+            return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+        self.model.params = jax.tree.map(
+            lambda x: jax.device_put(x, rep)
+            if isinstance(x, jax.Array) else x, self.model.params)
+        self.model._jit_cache.clear()
+        self.caches = KVCache(dp(self.caches.k, 1), dp(self.caches.v, 1))
+        for name in ("embed", "valid", "finished", "history", "row_len",
+                     "trailing", "t_idx", "t_len", "pad_embeds"):
+            setattr(self, name, dp(getattr(self, name)))
+        self.key = jax.device_put(self.key, rep)
+
     def _dispatch_decode(self, slot: int, n_valid: int):
         """Dispatch slot's codec decode; returns the device array (the
         host fetch happens later so slot decodes overlap on device)."""
