@@ -224,6 +224,86 @@ class Model(FunctionalModel):
                            self.config.decoder_config.rms_norm_eps)
         return apply_linear(c["fc2"], h)
 
+    def _prefill_fn(self, pb: int):
+        """Cached jit: prompt prefill into fresh MAX_CACHE_LEN caches."""
+        pf = self._jit_cache.get(("prefill", pb))
+        if pf is not None:
+            return pf
+        lm_cfg = self._lm_cfg()
+
+        def prefill(p, tok, n):
+            caches = [KVCache.init(
+                1, MAX_CACHE_LEN, lm_cfg.num_key_value_heads,
+                lm_cfg.resolved_head_dim, jnp.float32)
+                for _ in range(lm_cfg.num_hidden_layers)]
+            pad = jnp.where(jnp.arange(MAX_CACHE_LEN) < n, 0.0,
+                            -jnp.inf)[None, None, None, :]
+            hidden, caches = llama_forward(
+                p["language_model"], lm_cfg, tok, caches=caches,
+                offset=0, mask=pad[:, 0, 0])
+            idx = jnp.clip(n - 1, 0, pb - 1)
+            return caches, jax.lax.dynamic_slice_in_dim(hidden, idx, 1, 1)
+
+        pf = jax.jit(prefill)
+        self._jit_cache[("prefill", pb)] = pf
+        return pf
+
+    def _neg_prefill_fn(self):
+        """Cached jit: CFG negative stream primed with a bare speech_start
+        (reference kugelaudio.py:227-233)."""
+        nf = self._jit_cache.get("neg_prefill")
+        if nf is not None:
+            return nf
+        lm_cfg = self._lm_cfg()
+
+        def neg_prefill(p):
+            caches = [KVCache.init(
+                1, MAX_CACHE_LEN, lm_cfg.num_key_value_heads,
+                lm_cfg.resolved_head_dim, jnp.float32)
+                for _ in range(lm_cfg.num_hidden_layers)]
+            tok = jnp.asarray([[SPEECH_START_ID]], jnp.int32)
+            hidden, caches = llama_forward(
+                p["language_model"], lm_cfg, tok, caches=caches, offset=0)
+            return caches, hidden
+
+        nf = jax.jit(neg_prefill)
+        self._jit_cache["neg_prefill"] = nf
+        return nf
+
+    def _step_fns(self):
+        """Cached jits: one LM step (donated caches), the constrained
+        4-token pick, and the latent->embed connector."""
+        step = self._jit_cache.get("step")
+        if step is not None:
+            return step
+        lm_cfg = self._lm_cfg()
+        valid = jnp.asarray(VALID_SPEECH_TOKENS, jnp.int32)
+
+        def lm_step(p, caches, offset, embed):
+            hidden, caches = llama_forward(
+                p["language_model"], lm_cfg, embed, caches=caches,
+                offset=offset)
+            return caches, hidden
+
+        def pick(p, hidden):
+            logits = self._logits(p, hidden[:, -1])[0]
+            keep = jnp.full(logits.shape, -jnp.inf).at[valid].set(0.0)
+            masked = logits + keep
+            return jnp.argmax(masked), masked
+
+        step = {"lm": jax.jit(lm_step, donate_argnums=(1,)),
+                "pick": jax.jit(pick),
+                "connector": jax.jit(self._connector)}
+        self._jit_cache["step"] = step
+        return step
+
+    def _sde_fn(self, steps: int, cfg_scale: float):
+        sde = self._jit_cache.get(("sde", steps, cfg_scale))
+        if sde is None:
+            sde = self._sde_sample_fn(steps, cfg_scale)
+            self._jit_cache[("sde", steps, cfg_scale)] = sde
+        return sde
+
     def _sde_sample_fn(self, ddpm_steps: int, cfg_scale: float):
         dh = self.config.diffusion_head_config
         tables = {k: jnp.asarray(v) for k, v in sde_dpm_tables(
@@ -302,72 +382,16 @@ class Model(FunctionalModel):
         ids = np.zeros((1, pb), np.int32)
         ids[0, :plen] = prompt
 
-        pf = self._jit_cache.get(("prefill", pb))
-        if pf is None:
-            def prefill(p, tok, n):
-                caches = [KVCache.init(
-                    1, MAX_CACHE_LEN, lm_cfg.num_key_value_heads,
-                    lm_cfg.resolved_head_dim, jnp.float32)
-                    for _ in range(lm_cfg.num_hidden_layers)]
-                pad = jnp.where(jnp.arange(MAX_CACHE_LEN) < n, 0.0,
-                                -jnp.inf)[None, None, None, :]
-                hidden, caches = llama_forward(
-                    p["language_model"], lm_cfg, tok, caches=caches,
-                    offset=0, mask=pad[:, 0, 0])
-                idx = jnp.clip(n - 1, 0, pb - 1)
-                return caches, jax.lax.dynamic_slice_in_dim(hidden, idx, 1,
-                                                            1)
-
-            pf = jax.jit(prefill)
-            self._jit_cache[("prefill", pb)] = pf
+        pf = self._prefill_fn(pb)
         caches, hidden = pf(self.params, jnp.asarray(ids), jnp.int32(plen))
 
         use_cfg = cfg_scale > 1.0
         neg_caches = neg_hidden = None
         if use_cfg:
-            nf = self._jit_cache.get("neg_prefill")
-            if nf is None:
-                def neg_prefill(p):
-                    caches = [KVCache.init(
-                        1, MAX_CACHE_LEN, lm_cfg.num_key_value_heads,
-                        lm_cfg.resolved_head_dim, jnp.float32)
-                        for _ in range(lm_cfg.num_hidden_layers)]
-                    tok = jnp.asarray([[SPEECH_START_ID]], jnp.int32)
-                    hidden, caches = llama_forward(
-                        p["language_model"], lm_cfg, tok, caches=caches,
-                        offset=0)
-                    return caches, hidden
+            neg_caches, neg_hidden = self._neg_prefill_fn()(self.params)
 
-                nf = jax.jit(neg_prefill)
-                self._jit_cache["neg_prefill"] = nf
-            neg_caches, neg_hidden = nf(self.params)
-
-        step_key = ("step", use_cfg)
-        step = self._jit_cache.get(step_key)
-        if step is None:
-            valid = jnp.asarray(VALID_SPEECH_TOKENS, jnp.int32)
-
-            def lm_step(p, caches, offset, embed):
-                hidden, caches = llama_forward(
-                    p["language_model"], lm_cfg, embed, caches=caches,
-                    offset=offset)
-                return caches, hidden
-
-            def pick(p, hidden):
-                logits = self._logits(p, hidden[:, -1])[0]
-                keep = jnp.full(logits.shape, -jnp.inf).at[valid].set(0.0)
-                masked = logits + keep
-                return jnp.argmax(masked), masked
-
-            step = {"lm": jax.jit(lm_step, donate_argnums=(1,)),
-                    "pick": jax.jit(pick)}
-            self._jit_cache[step_key] = step
-
-        sd_key = ("sde", steps, cfg_scale)
-        sde = self._jit_cache.get(sd_key)
-        if sde is None:
-            sde = self._sde_sample_fn(steps, cfg_scale)
-            self._jit_cache[sd_key] = sde
+        step = self._step_fns()
+        sde = self._sde_fn(steps, cfg_scale)
 
         key = jax.random.PRNGKey(seed)
         latents: List[np.ndarray] = []
@@ -395,7 +419,7 @@ class Model(FunctionalModel):
                                neg_hidden[:, -1] if use_cfg
                                else hidden[:, -1], key)
                 latents.append(np.asarray(lat))
-                embed = self._connector(self.params, lat[:, None])
+                embed = step["connector"](self.params, lat[:, None])
                 caches, hidden = step["lm"](self.params, caches,
                                             jnp.int32(offset), embed)
                 offset += 1
