@@ -6,12 +6,19 @@ Solver++ diffusion per speech_diffusion token :108-167 + scheduler.py,
 CFG negative stream primed with a bare speech_start :227-233, final-latent
 logit margin :34-36 & :256-266, batch decode of all latents :330-347).
 
-TPU design: the diffusion sampler is ONE lax.scan over the SDE tables
-(sde_dpm_tables) with the CFG pair batched through the prediction head;
-each AR step is a single compiled program running both the positive and
-negative LM streams; latents batch-decode through the shared VibeVoice
-causal VAE decoder per length bucket. Reuses vibevoice's head_forward /
-decode_latents / init pieces (kugelaudio checkpoints ARE VibeVoice-shaped).
+TPU design: the whole AR+diffusion frame loop is ONE compiled K-frame
+chunk (lax.while_loop) — constrained 4-token pick, SDE-DPM-Solver++
+sampler (lax.scan over precomputed tables) under lax.cond, connector, and
+the LM advance — with ONE host sync per chunk. The CFG positive and
+negative streams run as a single b=2 batched LM step sharing cache slots:
+the negative row holds its bare speech_start at slot 0, masks out the
+prompt region [1, plen), and carries its own position stream — so the 7B
+weight stream is paid ONCE per frame, not twice. The constrained pick
+gathers only the 4 valid lm_head rows (START/END/DIFFUSION/EOS) instead
+of streaming the full 152k-vocab projection. Latents accumulate on-device
+and batch-decode through the shared VibeVoice causal VAE decoder per
+length bucket. Reuses vibevoice's head_forward / decode_latents / init
+pieces (kugelaudio checkpoints ARE VibeVoice-shaped).
 """
 
 from __future__ import annotations
@@ -27,7 +34,6 @@ import numpy as np
 from ....base import BaseModelArgs
 from ....model import FunctionalModel
 from ....nn import (
-    apply_embedding,
     apply_linear,
     apply_rms_norm,
     init_linear,
@@ -62,6 +68,9 @@ FINAL_LATENT_LOGIT_MARGIN = 5.0
 MAX_CACHE_LEN = 4096
 PROMPT_BUCKETS = (64, 128, 256, 512, 1024)
 LATENT_BUCKETS = (8, 16, 32, 64, 128, 256, 512, 1024, 2048)
+CACHE_BUCKETS = (512, 1024, 2048, 4096)
+LAT_MAX = 2048           # on-device latent accumulator rows (~0.5 MB f32)
+CHUNK_FRAMES = 8         # frames per compiled chunk = one host sync each
 
 
 def _bucket(n, buckets):
@@ -224,87 +233,200 @@ class Model(FunctionalModel):
                            self.config.decoder_config.rms_norm_eps)
         return apply_linear(c["fc2"], h)
 
-    def _prefill_fn(self, pb: int):
-        """Cached jit: prompt prefill into fresh MAX_CACHE_LEN caches."""
-        pf = self._jit_cache.get(("prefill", pb))
+    def _pick4_logits(self, p, h):
+        """Constrained-decode logits at the 4 valid speech tokens only.
+
+        The reference masks the full 152k-vocab projection to 4 ids
+        (kugelaudio.py:118-146); gathering the 4 lm_head rows first gives
+        bit-identical argmax/margins without streaming the ~1 GB vocab
+        matrix every frame. h: (H,) -> (4,) f32.
+        """
+        ids = jnp.asarray(VALID_SPEECH_TOKENS, jnp.int32)
+        if "lm_head" in p:
+            lm = p["lm_head"]
+            if "w_i8" in lm:
+                w4 = lm["w_i8"][ids].astype(jnp.float32) \
+                    * lm["scale"][ids].astype(jnp.float32)[:, None]
+            elif "w_q" in lm:
+                from ....ops.quant import dequantize_weight
+
+                core = {k: lm[k][ids] for k in ("w_q", "scales", "biases")
+                        if k in lm}
+                w4 = dequantize_weight(core, jnp.float32)
+            else:
+                w4 = lm["weight"][ids].astype(jnp.float32)
+            out = w4 @ h.astype(jnp.float32)
+            if "bias" in lm:
+                out = out + lm["bias"][ids].astype(jnp.float32)
+            return out
+        w = p["language_model"]["model"]["embed_tokens"]["weight"]
+        return w[ids].astype(jnp.float32) @ h.astype(jnp.float32)
+
+    def _prefill2_fn(self, pb: int, use_cfg: bool, cache_len: int):
+        """Cached jit: batched prompt prefill into fresh caches.
+
+        With CFG, row 0 is the prompt stream and row 1 the negative stream
+        primed with a bare speech_start at slot 0 (reference
+        kugelaudio.py:227-233); the additive mask hides row 0's pad tail
+        and everything but slot 0 on row 1.
+        """
+        key = ("prefill2", pb, use_cfg, cache_len)
+        pf = self._jit_cache.get(key)
         if pf is not None:
             return pf
         lm_cfg = self._lm_cfg()
+        rows = 2 if use_cfg else 1
 
         def prefill(p, tok, n):
             caches = [KVCache.init(
-                1, MAX_CACHE_LEN, lm_cfg.num_key_value_heads,
+                rows, cache_len, lm_cfg.num_key_value_heads,
                 lm_cfg.resolved_head_dim, jnp.float32)
                 for _ in range(lm_cfg.num_hidden_layers)]
-            pad = jnp.where(jnp.arange(MAX_CACHE_LEN) < n, 0.0,
-                            -jnp.inf)[None, None, None, :]
+            j = jnp.arange(cache_len)
+            m0 = jnp.where(j < n, 0.0, -jnp.inf)
+            if use_cfg:
+                m1 = jnp.where(j == 0, 0.0, -jnp.inf)
+                mask = jnp.stack([m0, m1])
+            else:
+                mask = m0[None]
             hidden, caches = llama_forward(
                 p["language_model"], lm_cfg, tok, caches=caches,
-                offset=0, mask=pad[:, 0, 0])
-            idx = jnp.clip(n - 1, 0, pb - 1)
-            return caches, jax.lax.dynamic_slice_in_dim(hidden, idx, 1, 1)
+                offset=0, mask=mask)
+            idx = jnp.stack(
+                [jnp.clip(n - 1, 0, pb - 1), jnp.zeros((), jnp.int32)])
+            idx = idx[:rows]
+            h = jnp.take_along_axis(hidden, idx[:, None, None],
+                                    axis=1)[:, 0]          # (rows, H)
+            return tuple(caches), h
 
         pf = jax.jit(prefill)
-        self._jit_cache[("prefill", pb)] = pf
+        self._jit_cache[key] = pf
         return pf
 
-    def _neg_prefill_fn(self):
-        """Cached jit: CFG negative stream primed with a bare speech_start
-        (reference kugelaudio.py:227-233)."""
-        nf = self._jit_cache.get("neg_prefill")
-        if nf is not None:
-            return nf
+    def _chunk_fn(self, steps: int, cfg_scale: float, cache_len: int,
+                  k_frames: int = CHUNK_FRAMES):
+        """Cached jit: K latent frames in ONE compiled while_loop.
+
+        Per frame: constrained 4-row pick -> (lax.cond) SDE diffusion
+        sample -> on-device latent append -> connector/token embed -> one
+        b=2 CFG-batched LM advance (weights stream once for both CFG
+        streams). Returns the updated carry plus a packed (n_lat, n_tok,
+        finished) i32 status so the host pays one sync per chunk.
+        """
+        key = ("chunk", steps, cfg_scale, cache_len, k_frames)
+        fn = self._jit_cache.get(key)
+        if fn is not None:
+            return fn
         lm_cfg = self._lm_cfg()
-
-        def neg_prefill(p):
-            caches = [KVCache.init(
-                1, MAX_CACHE_LEN, lm_cfg.num_key_value_heads,
-                lm_cfg.resolved_head_dim, jnp.float32)
-                for _ in range(lm_cfg.num_hidden_layers)]
-            tok = jnp.asarray([[SPEECH_START_ID]], jnp.int32)
-            hidden, caches = llama_forward(
-                p["language_model"], lm_cfg, tok, caches=caches, offset=0)
-            return caches, hidden
-
-        nf = jax.jit(neg_prefill)
-        self._jit_cache["neg_prefill"] = nf
-        return nf
-
-    def _step_fns(self):
-        """Cached jits: one LM step (donated caches), the constrained
-        4-token pick, and the latent->embed connector."""
-        step = self._jit_cache.get("step")
-        if step is not None:
-            return step
-        lm_cfg = self._lm_cfg()
+        use_cfg = cfg_scale > 1.0
+        rows = 2 if use_cfg else 1
+        latent = self.config.diffusion_head_config.latent_size
+        sde_core = self._sde_core(steps, cfg_scale)
         valid = jnp.asarray(VALID_SPEECH_TOKENS, jnp.int32)
 
-        def lm_step(p, caches, offset, embed):
-            hidden, caches = llama_forward(
-                p["language_model"], lm_cfg, embed, caches=caches,
-                offset=offset)
-            return caches, hidden
+        def chunk(p, carry, plen, max_lat):
+            emb_w = p["language_model"]["model"]["embed_tokens"]["weight"]
 
-        def pick(p, hidden):
-            logits = self._logits(p, hidden[:, -1])[0]
-            keep = jnp.full(logits.shape, -jnp.inf).at[valid].set(0.0)
-            masked = logits + keep
-            return jnp.argmax(masked), masked
+            def cond(st):
+                i, c = st
+                return ((i < k_frames) & (~c["finished"])
+                        & (c["n_tok"] < max_lat) & (c["n_lat"] < LAT_MAX))
 
-        step = {"lm": jax.jit(lm_step, donate_argnums=(1,)),
-                "pick": jax.jit(pick),
-                "connector": jax.jit(self._connector)}
-        self._jit_cache["step"] = step
-        return step
+            def body(st):
+                i, c = st
+                caches, hidden = c["caches"], c["hidden"]
+                offset, n_lat = c["offset"], c["n_lat"]
+                logits4 = self._pick4_logits(p, hidden[0])
+                a = jnp.argmax(logits4)
+                is_diff = a == 2
+                is_end = (a == 1) | (a == 3)
+                margin_ok = logits4[2] > \
+                    logits4[a] - FINAL_LATENT_LOGIT_MARGIN
+                emit = is_diff | (is_end & margin_ok & (n_lat > 0))
+
+                def run_sde(k):
+                    return sde_core(p, hidden[0:1], hidden[rows - 1:rows],
+                                    k)
+
+                lat, new_key = jax.lax.cond(
+                    emit, run_sde,
+                    lambda k: (jnp.zeros((1, latent), jnp.float32), k),
+                    c["key"])
+                latbuf = jnp.where(
+                    emit,
+                    jax.lax.dynamic_update_slice(c["latbuf"], lat,
+                                                 (n_lat, 0)),
+                    c["latbuf"])
+                n_lat = n_lat + emit.astype(jnp.int32)
+                fin = c["finished"] | is_end
+
+                emb_lat = self._connector(p, lat)[0]
+                emb_tok = emb_w[valid[a]]
+                embed = jnp.where(is_diff, emb_lat.astype(emb_w.dtype),
+                                  emb_tok.astype(emb_w.dtype))
+                embed = jnp.broadcast_to(
+                    embed, (rows, 1, embed.shape[-1]))
+                # the reference advances the negative stream only on
+                # diffusion embeds (kugelaudio.py:256-266); a re-emitted
+                # START steps the positive row alone. The batched write
+                # still lands row 1's kv at this slot, but neg_mask never
+                # admits it and row 1's hidden is held.
+                adv_neg = is_diff
+                neg_mask = c["neg_mask"]
+                neg_pos = c["neg_pos"]
+
+                def do_step(cs):
+                    j = jnp.arange(cache_len)
+                    m0 = j <= offset
+                    if use_cfg:
+                        m1 = neg_mask | (j == offset)
+                        mask = jnp.stack([m0, m1])
+                        positions = jnp.stack(
+                            [offset, neg_pos])[:, None]
+                    else:
+                        mask = m0[None]
+                        positions = offset[None, None]
+                    hseq, ncs = llama_forward(
+                        p["language_model"], lm_cfg, embed,
+                        positions=positions, caches=list(cs),
+                        offset=offset, mask=mask)
+                    h = hseq[:, 0]
+                    if use_cfg:
+                        h = h.at[1].set(
+                            jnp.where(adv_neg, h[1], hidden[1]))
+                    return tuple(ncs), h
+
+                caches, hidden = jax.lax.cond(
+                    fin, lambda cs: (cs, hidden), do_step, caches)
+                step_ran = ~fin
+                return i + 1, {
+                    "caches": caches, "hidden": hidden,
+                    "offset": jnp.where(fin, offset, offset + 1),
+                    "neg_mask": jnp.where(
+                        step_ran & adv_neg,
+                        neg_mask | (jnp.arange(cache_len) == offset),
+                        neg_mask),
+                    "neg_pos": neg_pos + (step_ran & adv_neg),
+                    "n_lat": n_lat, "n_tok": c["n_tok"] + 1,
+                    "latbuf": latbuf, "finished": fin, "key": new_key}
+
+            _, out = jax.lax.while_loop(cond, body, (jnp.int32(0), carry))
+            status = jnp.stack([out["n_lat"], out["n_tok"],
+                                out["finished"].astype(jnp.int32)])
+            return out, status
+
+        fn = jax.jit(chunk, donate_argnums=(1,))
+        self._jit_cache[key] = fn
+        return fn
 
     def _sde_fn(self, steps: int, cfg_scale: float):
         sde = self._jit_cache.get(("sde", steps, cfg_scale))
         if sde is None:
-            sde = self._sde_sample_fn(steps, cfg_scale)
+            sde = jax.jit(self._sde_core(steps, cfg_scale))
             self._jit_cache[("sde", steps, cfg_scale)] = sde
         return sde
 
-    def _sde_sample_fn(self, ddpm_steps: int, cfg_scale: float):
+    def _sde_core(self, ddpm_steps: int, cfg_scale: float):
         dh = self.config.diffusion_head_config
         tables = {k: jnp.asarray(v) for k, v in sde_dpm_tables(
             dh.ddpm_num_steps, ddpm_steps,
@@ -344,7 +466,7 @@ class Model(FunctionalModel):
                 body, (noise, jnp.zeros_like(noise), key), tables)
             return speech, key
 
-        return jax.jit(run)
+        return run
 
     # ------------------------------------------------------------ generate
 
@@ -371,7 +493,6 @@ class Model(FunctionalModel):
         if self.tokenizer is None:
             raise RuntimeError("Tokenizer not loaded")
         cfg = self.config
-        lm_cfg = self._lm_cfg()
         steps = ddpm_steps if ddpm_steps is not None else \
             cfg.diffusion_head_config.ddpm_num_inference_steps
         t0 = time.perf_counter()
@@ -379,68 +500,44 @@ class Model(FunctionalModel):
         prompt = self._build_prompt_tokens(text)
         plen = len(prompt)
         pb = _bucket(plen, PROMPT_BUCKETS)
-        ids = np.zeros((1, pb), np.int32)
-        ids[0, :plen] = prompt
-
-        pf = self._prefill_fn(pb)
-        caches, hidden = pf(self.params, jnp.asarray(ids), jnp.int32(plen))
-
         use_cfg = cfg_scale > 1.0
-        neg_caches = neg_hidden = None
+        rows = 2 if use_cfg else 1
+        cache_len = _bucket(plen + min(max_tokens, LAT_MAX) + 1,
+                            CACHE_BUCKETS)
+        ids = np.zeros((rows, pb), np.int32)
+        ids[0, :plen] = prompt
         if use_cfg:
-            neg_caches, neg_hidden = self._neg_prefill_fn()(self.params)
+            ids[1, 0] = SPEECH_START_ID
 
-        step = self._step_fns()
-        sde = self._sde_fn(steps, cfg_scale)
+        pf = self._prefill2_fn(pb, use_cfg, cache_len)
+        caches, hidden = pf(self.params, jnp.asarray(ids), jnp.int32(plen))
+        chunk = self._chunk_fn(steps, cfg_scale, cache_len)
 
-        key = jax.random.PRNGKey(seed)
-        latents: List[np.ndarray] = []
-        offset, neg_offset = plen, 1
-        total = plen
-        finished = False
-        n_steps = 0
-        while not finished and n_steps < max_tokens:
-            tok, masked = step["pick"](self.params, hidden)
-            tok_id = int(tok)
-            total += 1
-            n_steps += 1
-            if tok_id in (SPEECH_END_ID, EOS_TOKEN_ID):
-                m = np.asarray(masked)
-                if latents and m[SPEECH_DIFFUSION_ID] > \
-                        m[tok_id] - FINAL_LATENT_LOGIT_MARGIN:
-                    lat, key = sde(self.params, hidden[:, -1],
-                                   neg_hidden[:, -1] if use_cfg
-                                   else hidden[:, -1], key)
-                    latents.append(np.asarray(lat))
-                finished = True
+        carry = {
+            "caches": caches, "hidden": hidden,
+            "offset": jnp.int32(plen), "n_lat": jnp.int32(0),
+            "n_tok": jnp.int32(0),
+            "neg_mask": jnp.arange(cache_len) == 0,
+            "neg_pos": jnp.int32(1),
+            "latbuf": jnp.zeros(
+                (LAT_MAX, cfg.diffusion_head_config.latent_size),
+                jnp.float32),
+            "finished": jnp.asarray(False), "key": jax.random.PRNGKey(seed)}
+        plen_d = jnp.int32(plen)
+        max_lat = jnp.int32(min(max_tokens, LAT_MAX))
+        n_lat = n_tok = 0
+        while True:
+            carry, status = chunk(self.params, carry, plen_d, max_lat)
+            n_lat, n_tok, fin = (int(x) for x in np.asarray(status))
+            if fin or n_tok >= max_tokens:
                 break
-            if tok_id == SPEECH_DIFFUSION_ID:
-                lat, key = sde(self.params, hidden[:, -1],
-                               neg_hidden[:, -1] if use_cfg
-                               else hidden[:, -1], key)
-                latents.append(np.asarray(lat))
-                embed = step["connector"](self.params, lat[:, None])
-                caches, hidden = step["lm"](self.params, caches,
-                                            jnp.int32(offset), embed)
-                offset += 1
-                if use_cfg:
-                    neg_caches, neg_hidden = step["lm"](
-                        self.params, neg_caches, jnp.int32(neg_offset),
-                        embed)
-                    neg_offset += 1
-            elif tok_id == SPEECH_START_ID:
-                embed = apply_embedding(
-                    self.params["language_model"]["model"]["embed_tokens"],
-                    jnp.asarray([[tok_id]], jnp.int32))
-                caches, hidden = step["lm"](self.params, caches,
-                                            jnp.int32(offset), embed)
-                offset += 1
+        total = plen + n_tok
 
         dt = max(time.perf_counter() - t0, 1e-6)
-        if not latents:
+        if n_lat == 0:
             yield self._result(np.zeros((0,), np.float32), total, dt)
             return
-        seq = np.stack(latents, axis=1)                 # (1, T, vae)
+        seq = np.asarray(carry["latbuf"][:n_lat])[None]  # (1, T, vae)
         scale = float(np.asarray(self.params["speech_scaling_factor"]))
         bias = float(np.asarray(self.params["speech_bias_factor"]))
         if not np.isnan(scale):

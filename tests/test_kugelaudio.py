@@ -79,6 +79,138 @@ class TestGenerate:
                 return
         pytest.fail("diffusion branch never taken for either bias sign")
 
+    def test_compiled_chunk_matches_two_stream_host_loop(self, model):
+        """The b=2 CFG-batched chunk stepper (neg stream sharing cache
+        slots behind a mask, weights streamed once per frame) must produce
+        the same token/latent sequence as the reference algorithm run as
+        two separate b=1 LM streams (reference kugelaudio.py:227-266)."""
+        # zero the competing rows and bias speech_diffusion: whichever
+        # sign aligns with the hidden state forces several diffusion
+        # frames (START ties win at 0 when it doesn't, exercising the
+        # pos-row-only advance too)
+        rng = np.random.RandomState(3)
+        old_w = model.params["lm_head"]["weight"]
+        try:
+            for trial in range(6):
+                v = rng.randn(np.asarray(old_w).shape[1]) * 0.5
+                for sign in (1.0, -1.0):
+                    w = np.asarray(old_w).copy()
+                    for t in (SPEECH_START_ID, SPEECH_END_ID, EOS_TOKEN_ID):
+                        w[t] = 0.0
+                    w[SPEECH_DIFFUSION_ID] = sign * v
+                    model.params["lm_head"]["weight"] = jnp.asarray(w)
+                    if self._run_parity(model) >= 2:
+                        return
+            pytest.fail("no bias direction produced >=2 latents")
+        finally:
+            model.params["lm_head"]["weight"] = old_w
+
+    def _run_parity(self, model):
+        import jax
+        from mlx_audio_tpu.ops.kvcache import KVCache
+        from mlx_audio_tpu.tts.models.kugelaudio.kugelaudio import (
+            FINAL_LATENT_LOGIT_MARGIN)
+        from mlx_audio_tpu.tts.models.llama.llama import llama_forward
+
+        cfg_scale, steps, max_tokens, seed = 3.0, 4, 12, 7
+        prompt = model._build_prompt_tokens("parity check")
+        plen = len(prompt)
+
+        # --- reference: two independent b=1 streams ---
+        lm_cfg = model._lm_cfg()
+        p = model.params
+        cache_len = 512
+
+        def b1_prefill(tokens):
+            caches = [KVCache.init(1, cache_len,
+                                   lm_cfg.num_key_value_heads,
+                                   lm_cfg.resolved_head_dim,
+                                   jnp.float32)
+                      for _ in range(lm_cfg.num_hidden_layers)]
+            n = len(tokens)
+            if n == 1:   # t==1 takes the decode path: boolean keep-mask
+                mask = (jnp.arange(cache_len) < n)[None]
+            else:        # prefill path: additive mask
+                mask = jnp.where(jnp.arange(cache_len) < n, 0.0,
+                                 -jnp.inf)[None]
+            tok = jnp.asarray([tokens], jnp.int32)
+            hidden, caches = llama_forward(
+                p["language_model"], lm_cfg, tok, caches=caches,
+                offset=0, mask=mask)
+            return caches, hidden[:, n - 1]
+
+        pos_c, pos_h = b1_prefill(prompt)
+        neg_c, neg_h = b1_prefill(
+            [int(prompt[-1])])                 # bare speech_start
+        sde = model._sde_fn(steps, cfg_scale)
+        key = jax.random.PRNGKey(seed)
+        ref_lats, ref_toks = [], []
+        off, noff = plen, 1
+        for _ in range(max_tokens):
+            l4 = np.asarray(model._pick4_logits(p, pos_h[0]))
+            a = int(np.argmax(l4))
+            ref_toks.append(a)
+            is_end = a in (1, 3)
+            emit = a == 2 or (
+                is_end and ref_lats
+                and l4[2] > l4[a] - FINAL_LATENT_LOGIT_MARGIN)
+            if emit:
+                lat, key = sde(p, pos_h, neg_h, key)
+                ref_lats.append(np.asarray(lat))
+            if is_end:
+                break
+            emb = model._connector(p, lat) if a == 2 else \
+                p["language_model"]["model"]["embed_tokens"][
+                    "weight"][jnp.asarray([VALID_SPEECH_TOKENS[a]])]
+            emb = emb[None].astype(jnp.float32)
+            mask = (jnp.arange(cache_len) <= off)[None]
+            pos_h, pos_c = llama_forward(
+                p["language_model"], lm_cfg, emb,
+                positions=jnp.asarray([[off]]), caches=pos_c,
+                offset=jnp.int32(off), mask=mask)
+            pos_h = pos_h[:, 0]
+            if a == 2:   # neg stream advances on diffusion embeds only
+                nmask = (jnp.arange(cache_len) <= noff)[None]
+                neg_h, neg_c = llama_forward(
+                    p["language_model"], lm_cfg, emb,
+                    positions=jnp.asarray([[noff]]),
+                    caches=neg_c, offset=jnp.int32(noff), mask=nmask)
+                neg_h = neg_h[:, 0]
+                noff += 1
+            off += 1
+
+        # --- new compiled path ---
+        res = list(model.generate("parity check", cfg_scale=cfg_scale,
+                                  max_tokens=max_tokens,
+                                  ddpm_steps=steps, seed=seed))
+        got_n = res[0].token_count - plen
+        assert got_n == len(ref_toks)
+        hop = int(np.prod(
+            model.config.acoustic_tokenizer_config.ratios))
+        assert res[0].samples == len(ref_lats) * hop
+        if len(ref_lats) < 2:
+            return len(ref_lats)   # caller retries with the other sign
+
+        # decode the reference latents through the same VAE path and
+        # compare waveforms (catches hidden/cond drift, not just counts)
+        from mlx_audio_tpu.tts.models.vibevoice.vibevoice import \
+            decode_latents
+        seq = np.stack([r[0] for r in ref_lats], axis=0)[None]
+        scale = float(np.asarray(p["speech_scaling_factor"]))
+        bias = float(np.asarray(p["speech_bias_factor"]))
+        if not np.isnan(scale):
+            seq = seq / scale - bias
+        ref_audio = np.asarray(decode_latents(
+            p["acoustic_tokenizer"],
+            model.config.acoustic_tokenizer_config,
+            jnp.asarray(seq)))[0]
+        peak = np.abs(ref_audio).max()
+        if peak > 1.0:
+            ref_audio = ref_audio * (0.95 / peak)
+        np.testing.assert_allclose(res[0].audio, ref_audio,
+                                   atol=2e-3, rtol=0)
+        return len(ref_lats)
+
     def test_registry(self):
         from mlx_audio_tpu.tts.utils import MODEL_REMAPPING
 
