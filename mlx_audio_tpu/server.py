@@ -42,6 +42,7 @@ from .server_inference import (
     InferenceBroker,
     InferenceRequest,
 )
+from .voice_store import VoiceStore, VoiceStoreError
 
 try:
     from aiohttp import WSMsgType, web
@@ -310,6 +311,7 @@ class AudioServer:
         self.broker.register_adapter("stt", STTExecutionAdapter(self.provider))
         self.broker.register_adapter(
             "separation", SeparationExecutionAdapter(self.provider))
+        self.voices = VoiceStore()
         self.app = web.Application(
             client_max_size=512 * 1024 * 1024,
             middlewares=[_cors_middleware])
@@ -323,6 +325,9 @@ class AudioServer:
         r.add_delete("/v1/models", self.unload_model_body_ep)
         r.add_delete("/v1/models/{model_id:.*}", self.unload_model_ep)
         r.add_get("/v1/audio/voices", self.list_voices)
+        r.add_post("/v1/audio/voices", self.save_voice)
+        r.add_get("/v1/audio/voices/{name}", self.get_voice)
+        r.add_delete("/v1/audio/voices/{name}", self.delete_voice)
         r.add_post("/v1/audio/speech", self.tts_speech)
         r.add_post("/v1/audio/transcriptions", self.stt_transcribe)
         r.add_post("/v1/audio/separations", self.separations)
@@ -412,7 +417,65 @@ class AudioServer:
             if hasattr(model, "get_supported_speakers"):
                 model_voices += model.get_supported_speakers()
             voices[name] = model_voices
-        return web.json_response({"voices": voices})
+        return web.json_response({"voices": voices,
+                                  "custom": self.voices.list()})
+
+    async def save_voice(self, request):
+        """POST /v1/audio/voices — save a named reference voice.
+
+        Body: {"name": str, "audio": base64 wav/encoded bytes,
+        "ref_text": optional transcript}. The stored voice is then usable
+        in any speech request as ref_audio="voice:<name>". Goes beyond the
+        reference Studio's static library (ui/components/voice-library.tsx
+        hardcodes its list client-side).
+        """
+        try:
+            body = await request.json()
+        except Exception:
+            return web.json_response({"error": "invalid JSON body"},
+                                     status=400)
+        name, audio_b64 = body.get("name"), body.get("audio")
+        if not name or not audio_b64:
+            return web.json_response(
+                {"error": "'name' and 'audio' (base64) are required"},
+                status=400)
+        try:
+            raw = base64.b64decode(audio_b64, validate=True)
+            wav, sr = audio_io.read(io.BytesIO(raw), dtype="float32")
+        except Exception:
+            return web.json_response(
+                {"error": "audio is not valid base64-encoded audio"},
+                status=400)
+        try:
+            meta = self.voices.save(name, wav, sr,
+                                    ref_text=body.get("ref_text"))
+        except VoiceStoreError as e:
+            return web.json_response({"error": str(e)}, status=400)
+        return web.json_response(meta, status=201)
+
+    async def get_voice(self, request):
+        """GET /v1/audio/voices/{name} — replay a stored voice (WAV)."""
+        name = request.match_info["name"]
+        try:
+            path = self.voices.wav_path(name)
+        except VoiceStoreError as e:
+            return web.json_response({"error": str(e)}, status=400)
+        if not path.is_file():
+            return web.json_response(
+                {"error": f"no saved voice named {name!r}"}, status=404)
+        return web.FileResponse(path,
+                                headers={"Content-Type": "audio/wav"})
+
+    async def delete_voice(self, request):
+        name = request.match_info["name"]
+        try:
+            found = self.voices.delete(name)
+        except VoiceStoreError as e:
+            return web.json_response({"error": str(e)}, status=400)
+        if not found:
+            return web.json_response(
+                {"error": f"no saved voice named {name!r}"}, status=404)
+        return web.json_response({"deleted": name})
 
     # -- TTS ----------------------------------------------------------------
 
@@ -453,12 +516,26 @@ class AudioServer:
         except Exception as e:
             return web.json_response({"error": str(e)}, status=404)
 
-        # ref_audio: server-local path (reference server.py:600-611) or
-        # base64-encoded audio bytes -> waveform at the model's sample rate
+        # ref_audio: "voice:<name>" from the voice library, a server-local
+        # path (reference server.py:600-611), or base64-encoded audio bytes
+        # -> waveform at the model's sample rate
         ref_audio = body.get("ref_audio")
         if ref_audio:
             model = self.provider.get_cached(model_name)
             target_sr = getattr(model, "sample_rate", 24000)
+            voice_name = self.voices.resolve_ref(ref_audio)
+            if voice_name is not None:
+                try:
+                    kwargs["ref_audio"] = self.voices.load(
+                        voice_name, sample_rate=target_sr)
+                    stored_text = self.voices.meta(voice_name).get(
+                        "ref_text")
+                    if stored_text and "ref_text" not in kwargs:
+                        kwargs["ref_text"] = stored_text
+                except VoiceStoreError as e:
+                    return web.json_response({"error": str(e)}, status=404)
+                ref_audio = None
+        if ref_audio:
             try:
                 if os.path.exists(ref_audio):
                     from .utils import load_audio

@@ -28,7 +28,7 @@ themeToggle.addEventListener("click", () =>
 
 // ---------------------------------------------------------------- router
 
-const pages = ["tts", "stt", "realtime", "separation", "models"];
+const pages = ["tts", "stt", "realtime", "separation", "voices", "models"];
 function route() {
   const page = (location.hash.replace("#/", "") || "tts");
   for (const p of pages) {
@@ -201,6 +201,10 @@ async function playPcmStream(resp, status) {
     playT += buf.duration;
   }
   // assemble a WAV for the download link / history
+  return pcm16PartsToWav(parts, sr);
+}
+
+function pcm16PartsToWav(parts, sr) {
   const total = parts.reduce((a, p) => a + p.length, 0);
   const wav = new Uint8Array(44 + total);
   const dv = new DataView(wav.buffer);
@@ -231,6 +235,7 @@ $("tts-generate").addEventListener("click", async () => {
     };
     if (streaming) { body.stream = true; body.streaming_interval = 0.5; }
     if ($("tts-voice").value) body.voice = $("tts-voice").value;
+    if ($("tts-clone").value) body.ref_audio = `voice:${$("tts-clone").value}`;
     const r = await fetch(`${API}/v1/audio/speech`, {
       method: "POST",
       headers: { "Content-Type": "application/json" },
@@ -444,6 +449,141 @@ function b64ToBlobUrl(b64, mime = "audio/wav") {
   for (let i = 0; i < bin.length; i++) bytes[i] = bin.charCodeAt(i);
   return URL.createObjectURL(new Blob([bytes], { type: mime }));
 }
+
+// ---------------------------------------------------------- voice library
+
+let vcRecorder = null;   // {ctx, node, stream, parts, sr} while recording
+let vcBlob = null;       // recorded WAV awaiting save
+
+async function refreshCustomVoices() {
+  try {
+    const r = await fetch(`${API}/v1/audio/voices`);
+    const data = await r.json();
+    const voices = data.custom || [];
+    const tbody = $("vc-table").querySelector("tbody");
+    tbody.innerHTML = "";
+    $("vc-empty").hidden = voices.length > 0;
+    $("vc-table").hidden = voices.length === 0;
+    const clone = $("tts-clone");
+    const current = clone.value;
+    clone.innerHTML = '<option value="">(none)</option>';
+    for (const v of voices) {
+      const o = document.createElement("option");
+      o.value = o.textContent = v.name;
+      clone.appendChild(o);
+      const tr = document.createElement("tr");
+      for (const cell of [v.name, v.duration_s ? `${v.duration_s}s` : "",
+                          v.ref_text || ""]) {
+        const td = document.createElement("td");
+        td.textContent = cell;
+        tr.appendChild(td);
+      }
+      const td = document.createElement("td");
+      const play = document.createElement("button");
+      play.textContent = "Play";
+      play.addEventListener("click", () => {
+        const a = $("vc-audio");
+        a.src = `${API}/v1/audio/voices/${encodeURIComponent(v.name)}`;
+        a.play();
+      });
+      const use = document.createElement("button");
+      use.textContent = "Use in TTS";
+      use.addEventListener("click", () => {
+        $("tts-clone").value = v.name;
+        location.hash = "#/tts";
+      });
+      const del = document.createElement("button");
+      del.textContent = "Delete";
+      del.addEventListener("click", async () => {
+        del.disabled = true;
+        await fetch(`${API}/v1/audio/voices/${encodeURIComponent(v.name)}`,
+                    { method: "DELETE" });
+        refreshCustomVoices();
+      });
+      td.append(play, use, del);
+      tr.appendChild(td);
+      tbody.appendChild(tr);
+    }
+    clone.value = current;
+  } catch { /* server offline */ }
+}
+refreshCustomVoices();
+
+// Mic capture assembles a PCM16 WAV client-side (MediaRecorder's webm/opus
+// would need ffmpeg server-side; the server decodes WAV natively).
+$("vc-record").addEventListener("click", async () => {
+  const btn = $("vc-record");
+  const pill = $("vc-rec-state");
+  if (vcRecorder) {                       // stop + assemble
+    const { ctx, node, stream, parts, sr } = vcRecorder;
+    node.disconnect();
+    ctx.close();
+    stream.getTracks().forEach((t) => t.stop());
+    vcRecorder = null;
+    vcBlob = pcm16PartsToWav(parts, sr);
+    btn.textContent = "Record mic";
+    pill.hidden = true;
+    $("vc-status").textContent =
+      `recorded ${(parts.reduce((a, p) => a + p.length, 0) / 2 / sr)
+        .toFixed(1)}s — press Save`;
+    return;
+  }
+  try {
+    const stream = await navigator.mediaDevices.getUserMedia({ audio: true });
+    const ctx = new AudioContext({ sampleRate: 24000 });
+    const src = ctx.createMediaStreamSource(stream);
+    const node = ctx.createScriptProcessor(4096, 1, 1);
+    const parts = [];
+    node.onaudioprocess = (e) => {
+      parts.push(new Uint8Array(
+        f32ToPcm16(e.inputBuffer.getChannelData(0)).buffer));
+    };
+    src.connect(node);
+    node.connect(ctx.destination);
+    vcRecorder = { ctx, node, stream, parts, sr: ctx.sampleRate };
+    btn.textContent = "Stop recording";
+    pill.hidden = false;
+  } catch (e) {
+    $("vc-status").className = "status err";
+    $("vc-status").textContent = `mic error: ${e.message}`;
+  }
+});
+
+$("vc-save").addEventListener("click", async () => {
+  const status = $("vc-status");
+  status.className = "status";
+  const name = $("vc-name").value.trim();
+  if (!name) { status.textContent = "name the voice first"; return; }
+  const file = $("vc-file").files[0];
+  const blob = file || vcBlob;
+  if (!blob) { status.textContent = "record or pick a wav first"; return; }
+  status.textContent = "saving…";
+  $("vc-save").disabled = true;
+  try {
+    const bytes = new Uint8Array(await blob.arrayBuffer());
+    let bin = "";
+    for (let i = 0; i < bytes.length; i += 0x8000) {
+      bin += String.fromCharCode.apply(null, bytes.subarray(i, i + 0x8000));
+    }
+    const r = await fetch(`${API}/v1/audio/voices`, {
+      method: "POST",
+      headers: { "Content-Type": "application/json" },
+      body: JSON.stringify({ name, audio: btoa(bin),
+                             ref_text: $("vc-text").value.trim() || null }),
+    });
+    const data = await r.json();
+    if (!r.ok) throw new Error(data.error || r.statusText);
+    status.textContent = `saved “${data.name}” (${data.duration_s}s)`;
+    vcBlob = null;
+    $("vc-file").value = "";
+    refreshCustomVoices();
+  } catch (e) {
+    status.className = "status err";
+    status.textContent = `error: ${e.message}`;
+  } finally {
+    $("vc-save").disabled = false;
+  }
+});
 
 // --------------------------------------------------------------- models
 

@@ -883,3 +883,110 @@ class TestRealCheckpointE2E:
             server.broker.stop_and_join()
 
         _run(go())
+
+
+# ---------------------------------------------------------------------------
+# Voice library (server-side store; reference Studio's voice-library.tsx is
+# a static client-side list — here save -> clone -> replay is real)
+# ---------------------------------------------------------------------------
+
+
+class TestVoiceLibrary:
+    def test_store_crud(self, tmp_path):
+        from mlx_audio_tpu.voice_store import VoiceStore, VoiceStoreError
+
+        store = VoiceStore(tmp_path)
+        assert store.list() == []
+        wav = (0.1 * np.sin(np.linspace(0, 40, 24000))).astype(np.float32)
+        meta = store.save("Narrator A", wav, 24000, ref_text="hello there")
+        assert meta["duration_s"] == 1.0 and meta["ref_text"] == "hello there"
+        assert [v["name"] for v in store.list()] == ["Narrator A"]
+        got = store.load("Narrator A")
+        np.testing.assert_allclose(got, wav, atol=2e-4)
+        # resampled load
+        up = store.load("Narrator A", sample_rate=48000)
+        assert abs(len(up) - 48000) <= 4
+        # ref resolution
+        assert store.resolve_ref("voice:Narrator A") == "Narrator A"
+        assert store.resolve_ref("/some/path.wav") is None
+        # invalid names / missing voices raise the 4xx error type
+        with pytest.raises(VoiceStoreError):
+            store.save("../evil", wav, 24000)
+        with pytest.raises(VoiceStoreError):
+            store.load("nope")
+        with pytest.raises(VoiceStoreError):
+            store.save("too short", wav[:100], 24000)
+        assert store.delete("Narrator A") and not store.delete("Narrator A")
+        assert store.list() == []
+
+    def test_save_clone_replay_endpoints(self, tmp_path):
+        async def go():
+            import base64
+
+            from aiohttp.test_utils import TestClient, TestServer
+
+            from mlx_audio_tpu import audio_io
+            from mlx_audio_tpu.voice_store import VoiceStore
+
+            server = _make_client_app()
+            server.voices = VoiceStore(tmp_path)
+            seen = {}
+
+            class CloningTTS(FakeTTS):
+                def generate(self, text, ref_audio=None, ref_text=None,
+                             **kw):
+                    seen["ref_audio"] = ref_audio
+                    seen["ref_text"] = ref_text
+                    yield from FakeTTS.generate(self, text)
+
+            server.provider._models["fake-tts"] = CloningTTS()
+            ref = (0.2 * np.sin(np.linspace(0, 60, 16000))).astype(
+                np.float32)
+            buf = io.BytesIO()
+            audio_io.write(buf, ref, 16000)
+            b64 = base64.b64encode(buf.getvalue()).decode()
+            async with TestClient(TestServer(server.app)) as client:
+                # save
+                r = await client.post("/v1/audio/voices", json={
+                    "name": "my-voice", "audio": b64,
+                    "ref_text": "reference words"})
+                assert r.status == 201
+                assert (await r.json())["name"] == "my-voice"
+                # listed under "custom"
+                r = await client.get("/v1/audio/voices")
+                names = [v["name"] for v in (await r.json())["custom"]]
+                assert names == ["my-voice"]
+                # replay returns a decodable WAV
+                r = await client.get("/v1/audio/voices/my-voice")
+                assert r.status == 200
+                wav, sr = audio_io.read(io.BytesIO(await r.read()),
+                                        dtype="float32")
+                assert sr == 16000 and len(wav) == 16000
+                # clone: ref_audio="voice:<name>" resolves to the stored
+                # waveform resampled to the model rate + stored ref_text
+                r = await client.post("/v1/audio/speech", json={
+                    "model": "fake-tts", "input": "clone me",
+                    "ref_audio": "voice:my-voice"})
+                assert r.status == 200
+                assert seen["ref_text"] == "reference words"
+                assert abs(len(seen["ref_audio"]) - 24000) <= 6
+                # unknown voice -> 404
+                r = await client.post("/v1/audio/speech", json={
+                    "model": "fake-tts", "input": "x",
+                    "ref_audio": "voice:ghost"})
+                assert r.status == 404
+                # bad payloads -> 400
+                r = await client.post("/v1/audio/voices", json={
+                    "name": "x"})
+                assert r.status == 400
+                r = await client.post("/v1/audio/voices", json={
+                    "name": "x", "audio": "!!!notb64"})
+                assert r.status == 400
+                # delete
+                r = await client.delete("/v1/audio/voices/my-voice")
+                assert r.status == 200
+                r = await client.delete("/v1/audio/voices/my-voice")
+                assert r.status == 404
+            server.broker.stop_and_join()
+
+        _run(go())
