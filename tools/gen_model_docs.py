@@ -27,9 +27,21 @@ HAND_WRITTEN = {
     ("tts", "kokoro"): "models/tts/kokoro.md",
     ("tts", "qwen3_tts"): "models/tts/qwen3-tts.md",
     ("tts", "higgs_audio"): "models/tts/higgs_audio.md",
+    ("tts", "higgs_audio_v3"): "models/tts/higgs_audio.md",
+    ("tts", "kugelaudio"): "models/tts/kugelaudio.md",
+    ("tts", "vibevoice"): "models/tts/vibevoice.md",
+    ("tts", "dia"): "models/tts/dia.md",
+    ("tts", "sesame"): "models/tts/sesame.md",
+    ("tts", "chatterbox"): "models/tts/chatterbox.md",
+    ("tts", "bark"): "models/tts/bark.md",
     ("stt", "whisper"): "models/stt/whisper.md",
     ("stt", "cohere_asr"): "models/stt/cohere-asr.md",
     ("stt", "voxtral_realtime"): "models/stt/voxtral-realtime.md",
+    ("stt", "parakeet"): "models/stt/parakeet.md",
+    ("codec", "mimi"): "models/codec/mimi.md",
+    ("codec", "snac"): "models/codec/snac.md",
+    ("vad", "silero_vad"): "models/vad/silero_vad.md",
+    ("sts", "sam_audio"): "models/sts/sam_audio.md",
 }
 
 USAGE = {
