@@ -157,7 +157,7 @@ def _kokoro_batched(model, ids, valid, ref_s, batch=8):
             "audio_s_total": round(audio_s, 1)}
 
 
-def _qwen3_model():
+def _qwen3_model(prewarm: bool = False):
     import jax.numpy as jnp
 
     from mlx_audio_tpu.tts.models.qwen3_tts import Model, ModelConfig
@@ -175,7 +175,13 @@ def _qwen3_model():
                 num_hidden_layers=5, num_attention_heads=16,
                 num_key_value_heads=8, head_dim=128, num_code_groups=16)),
     )
-    model = Model(cfg).init_and_bind()
+    model = Model(cfg)
+    if prewarm:
+        # load decode-path executables concurrently with the param init
+        # below — a production restart overlaps them with the checkpoint
+        # read the same way (generate() joins the warm thread)
+        model.prewarm_async(max_tokens=60)
+    model.init_and_bind()
     model.astype(jnp.bfloat16)
     return model
 
@@ -810,13 +816,17 @@ def bench_compile_cached():
         "from mlx_audio_tpu import enable_compilation_cache\n"
         "enable_compilation_cache()\n"
         "import bench\n"
-        "model = bench._qwen3_model()\n"
+        "model = bench._qwen3_model(prewarm=True)\n"
         "t0 = time.perf_counter()\n"
-        "list(model.generate(text_ids=np.arange(100, 150)[None],\n"
-        "     temperature=0.9, max_tokens=60, stream=True,\n"
-        "     streaming_interval=0.6, seed=0))\n"
+        "ttfa = None\n"
+        "for r in model.generate(text_ids=np.arange(100, 150)[None],\n"
+        "        temperature=0.9, max_tokens=60, stream=True,\n"
+        "        streaming_interval=0.6, seed=0):\n"
+        "    if ttfa is None and r.samples > 0:\n"
+        "        ttfa = time.perf_counter() - t0\n"
         "print('CACHED_COMPILE_S', round(time.perf_counter() - t0, 1),\n"
-        "      'SETUP_S', round(t0 - t_imp, 1))\n"
+        "      'SETUP_S', round(t0 - t_imp, 1),\n"
+        "      'TTFA_S', round(ttfa if ttfa is not None else -1, 1))\n"
     )
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
                          text=True, timeout=900,
@@ -825,7 +835,8 @@ def bench_compile_cached():
         if line.startswith("CACHED_COMPILE_S"):
             parts = line.split()
             return {"compile_cached_s": float(parts[1]),
-                    "setup_s": float(parts[3])}
+                    "setup_s": float(parts[3]),
+                    "ttfa_s": float(parts[5])}
     raise RuntimeError(f"cached-compile subprocess failed: {out.stderr[-800:]}")
 
 

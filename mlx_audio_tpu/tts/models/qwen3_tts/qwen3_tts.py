@@ -886,6 +886,70 @@ class Model(FunctionalModel):
     # public generate
     # ------------------------------------------------------------------
 
+    def prewarm_async(self, *, text_len: int = 50, max_tokens: int = 60,
+                      stream: bool = True, temperature: float = 0.9,
+                      top_k: int = 50, top_p: float = 1.0,
+                      repetition_penalty: float = 1.05,
+                      dtype=jnp.bfloat16) -> None:
+        """Load the decode-path executables on a background thread.
+
+        Compiled programs depend only on parameter shapes/dtypes, never on
+        values, so a zeros-weight clone (eval_shape skeleton if weights are
+        not bound yet) drives the exact first-audio program set — prefill
+        bucket, step0, the fused AR+codec superstep, codec chunk — while
+        the caller's real weights are still loading or initializing.
+        `generate()` joins the thread, so a fresh process with a warm
+        persistent compilation cache pays the executable deserialization
+        DURING weight load instead of serially on the first request
+        (BENCH cold_start.compile_cached_s). Sampling knobs and max_tokens
+        must match the expected request: the stepper's cache key includes
+        the sampling values and max_tokens picks the KV cache-length
+        bucket. Shapes must too — prewarm with the dense dtype does not
+        cover a quantized load.
+        """
+        import threading
+
+        if getattr(self, "_prewarm_thread", None) is not None:
+            return
+
+        def zeros_tree():
+            if self.params is not None:
+                return jax.tree.map(
+                    lambda a: jnp.zeros(a.shape, a.dtype), self.params)
+            shapes = jax.eval_shape(self.init_params, jax.random.PRNGKey(0))
+            return jax.tree.map(
+                lambda s: jnp.zeros(s.shape, dtype if jnp.issubdtype(
+                    s.dtype, jnp.floating) else s.dtype), shapes)
+
+        def run():
+            try:
+                clone = Model(self.config)
+                clone.bind(zeros_tree())
+                clone._jit_cache = self._jit_cache  # share compiled programs
+                for _ in clone.generate(
+                        text_ids=np.zeros((1, text_len), np.int32),
+                        temperature=temperature, top_k=top_k, top_p=top_p,
+                        repetition_penalty=repetition_penalty,
+                        max_tokens=max_tokens, stream=stream,
+                        streaming_interval=0.6, seed=0):
+                    pass
+            except Exception:   # pragma: no cover - warm is best-effort
+                pass
+
+        t = threading.Thread(target=run, daemon=True,
+                             name="qwen3-tts-prewarm")
+        self._prewarm_thread = t
+        t.start()
+
+    def _join_prewarm(self):
+        t = getattr(self, "_prewarm_thread", None)
+        if t is not None:
+            import threading
+
+            if t is not threading.current_thread():
+                t.join()
+            self._prewarm_thread = None
+
     def generate(
         self,
         text: Optional[str] = None,
@@ -923,6 +987,7 @@ class Model(FunctionalModel):
         streaming context comes from the checkpoint's sliding_window, so
         `streaming_context_size` is accepted for API parity.
         """
+        self._join_prewarm()
         del streaming_context_size
         if lang_code is not None:
             language = lang_code

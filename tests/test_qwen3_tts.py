@@ -286,3 +286,38 @@ class TestKwargsParity:
         assert {r.segment_idx for r in outs} == {0, 1}
         for r in outs:
             assert np.isfinite(np.asarray(r.audio)).all()
+
+
+class TestPrewarm:
+    def test_prewarm_then_generate(self):
+        """prewarm_async (zeros-weight clone on a background thread) must
+        populate the same _jit_cache entries the real generate uses, and
+        generate must join the thread and produce normal audio."""
+        m = Model(tiny_cfg())
+        m.prewarm_async(text_len=10, max_tokens=12, dtype=jnp.float32)
+        m.init_and_bind()
+        assert m._prewarm_thread is not None
+        res = list(m.generate(text_ids=np.arange(100, 110)[None],
+                              temperature=0.9, max_tokens=12, stream=True,
+                              streaming_interval=0.5, seed=0))
+        assert m._prewarm_thread is None          # joined
+        total = sum(r.samples for r in res)
+        assert total > 0
+        for r in res:
+            assert np.isfinite(np.asarray(r.audio)).all()
+
+    def test_prewarm_covers_generate_programs(self):
+        """After prewarm completes, the real generate with matching args
+        must not add new top-level jit cache entries (the program set is
+        covered)."""
+        m = Model(tiny_cfg())
+        m.init_and_bind()
+        m.prewarm_async(text_len=10, max_tokens=12, dtype=jnp.float32)
+        m._join_prewarm()
+        keys_before = set(m._jit_cache)
+        assert keys_before, "prewarm populated nothing"
+        list(m.generate(text_ids=np.arange(100, 110)[None],
+                        temperature=0.9, max_tokens=12, stream=True,
+                        streaming_interval=0.5, seed=0))
+        new = set(m._jit_cache) - keys_before
+        assert not new, f"generate compiled programs prewarm missed: {new}"
