@@ -105,6 +105,15 @@ def bench_kokoro():
             if isinstance(ca, (list, tuple)):
                 ca = ca[0]
             flops += float(ca.get("flops", 0.0))
+        # XLA's cost model can't see inside pallas_call: on TPU the
+        # generator's snake-conv legs run through the fused kernel, so add
+        # their FLOPs analytically (they dominate kokoro's compute)
+        from mlx_audio_tpu.ops.snake_conv_pallas import use_fused_snake_conv
+        from mlx_audio_tpu.tts.models.kokoro.istftnet import (
+            fused_generator_conv_flops)
+
+        if use_fused_snake_conv(jnp.zeros((1, 1, 128), jnp.bfloat16)):
+            flops += fused_generator_conv_flops(model.config.istftnet, fb)
         chip = detect_chip()
         peak = CHIP_SPECS[chip]["bf16_tflops"] * 1e12
         out["flops_per_synth"] = flops

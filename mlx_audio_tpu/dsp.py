@@ -237,9 +237,74 @@ def irfft_pair(re: jnp.ndarray, im: jnp.ndarray,
                n: Optional[int] = None) -> jnp.ndarray:
     """irfft of (real, imag) parts with the complex value fused in-jit —
     the eager-safe replacement for `jnp.fft.irfft(re + 1j*im)` on TPU
-    runtimes without complex-buffer support. Inlines when traced."""
+    runtimes without complex-buffer support. Inlines when traced.
+
+    Small transforms (n <= _DFT_MATMUL_MAX, e.g. the 20-point ISTFTNet
+    heads) dispatch to an explicit DFT-as-matmul: XLA's TPU FFT lowering
+    is pathological at tiny lengths over huge frame batches (multi-minute
+    compiles, VPU-serialized runtime), while the (K, n) basis matmul is a
+    bandwidth-bound MXU op."""
+    nf = 2 * (re.shape[-1] - 1) if n is None else n
+    if nf <= _DFT_MATMUL_MAX:
+        return irdft_pair(re, im, nf)
     return jnp.fft.irfft(jax.lax.complex(
         re.astype(jnp.float32), im.astype(jnp.float32)), n=n, axis=-1)
+
+
+# DFT lengths up to this lower to basis matmuls instead of XLA's FFT.
+# Crossover measured on v5e (tools/bench_dft_matmul.py): the matmul wins
+# on both compile time and runtime well past 256; FFT only catches up for
+# long transforms where O(n log n) beats O(n*K) on bandwidth.
+_DFT_MATMUL_MAX = 256
+
+
+@lru_cache(maxsize=None)
+def _rdft_bases_np(n_fft: int):
+    """Forward real-DFT bases (cos, -sin), each (n_fft, n_fft//2+1) f32.
+
+    Angles are reduced with exact integer modular arithmetic (k*n % n_fft)
+    so symmetry zeros (e.g. sin at k = n_fft/2) stay exact."""
+    n = np.arange(n_fft)[:, None]
+    k = np.arange(n_fft // 2 + 1)[None, :]
+    ang = 2.0 * np.pi * ((n * k) % n_fft) / n_fft
+    return (np.cos(ang).astype(np.float32),
+            (-np.sin(ang)).astype(np.float32))
+
+
+@lru_cache(maxsize=None)
+def _irdft_bases_np(n_fft: int):
+    """Inverse real-DFT bases (C, S), each (n_fft//2+1, n_fft) f32, such
+    that `re @ C + im @ S` == `np.fft.irfft(re + 1j*im, n_fft)` (even or
+    odd n_fft; Hermitian weights 2 on interior bins, 1 on DC/Nyquist)."""
+    kk = np.arange(n_fft // 2 + 1)[:, None]
+    nn = np.arange(n_fft)[None, :]
+    ang = 2.0 * np.pi * ((kk * nn) % n_fft) / n_fft
+    w = np.full((n_fft // 2 + 1, 1), 2.0)
+    w[0, 0] = 1.0
+    if n_fft % 2 == 0:
+        w[-1, 0] = 1.0
+    c = (w * np.cos(ang) / n_fft).astype(np.float32)
+    s = (-(w * np.sin(ang)) / n_fft).astype(np.float32)
+    return c, s
+
+
+def rdft_pair(frames: jnp.ndarray, n_fft: Optional[int] = None):
+    """Forward real DFT via basis matmul: frames (..., n_fft) ->
+    (re, im) each (..., n_fft//2+1) f32. MXU-friendly for small n_fft
+    (the TPU-native spelling of `jnp.fft.rfft` for ISTFTNet-size heads)."""
+    nf = frames.shape[-1] if n_fft is None else n_fft
+    cosb, msinb = (jnp.asarray(m) for m in _rdft_bases_np(nf))
+    f32 = frames.astype(jnp.float32)
+    return f32 @ cosb, f32 @ msinb
+
+
+def irdft_pair(re: jnp.ndarray, im: jnp.ndarray,
+               n: Optional[int] = None) -> jnp.ndarray:
+    """Inverse of :func:`rdft_pair`; matches `jnp.fft.irfft(re+1j*im, n)`
+    to f32 roundoff as one fused pair of (K, n) matmuls."""
+    nf = 2 * (re.shape[-1] - 1) if n is None else n
+    c, s = (jnp.asarray(m) for m in _irdft_bases_np(nf))
+    return re.astype(jnp.float32) @ c + im.astype(jnp.float32) @ s
 
 
 def spec_abs(spec) -> jnp.ndarray:
@@ -264,11 +329,24 @@ def _identity_oa_kernel(win_length: int, dtype=jnp.float32) -> jnp.ndarray:
 def overlap_add(frames: jnp.ndarray, hop_length: int, win_length: int) -> jnp.ndarray:
     """Overlap-add frames (..., num_frames, win_length) -> (..., T).
 
-    TPU-first: expressed as a transposed convolution with an identity kernel so
-    it runs on the MXU instead of a serialized scatter-add.
+    TPU-first: when hop divides win (the ISTFTNet heads: win 20, hop 5)
+    each output sample receives exactly win/hop contributions, so OA is
+    win/hop static shifted adds of contiguous reshapes — pure VPU, no
+    scatter. Otherwise it falls back to a transposed convolution with an
+    identity kernel (MXU) rather than a serialized scatter-add.
     """
     lead = frames.shape[:-2]
     num_frames = frames.shape[-2]
+    t = (num_frames - 1) * hop_length + win_length
+    if win_length % hop_length == 0:
+        fr = frames.reshape((-1, num_frames, win_length))
+        out = jnp.zeros((fr.shape[0], t), fr.dtype)
+        for j in range(win_length // hop_length):
+            slab = fr[:, :, j * hop_length : (j + 1) * hop_length]
+            slab = slab.reshape((fr.shape[0], num_frames * hop_length))
+            out = out.at[:, j * hop_length : j * hop_length
+                         + num_frames * hop_length].add(slab)
+        return out.reshape(lead + (t,))
     fr = frames.reshape((-1, num_frames, win_length))
     out = jax.lax.conv_transpose(
         fr,
@@ -277,7 +355,6 @@ def overlap_add(frames: jnp.ndarray, hop_length: int, win_length: int) -> jnp.nd
         padding="VALID",
         dimension_numbers=("NWC", "WIO", "NWC"),
     )
-    t = (num_frames - 1) * hop_length + win_length
     return out[..., 0].reshape(lead + (t,))
 
 

@@ -188,10 +188,63 @@ def init_adain_res_block1(key, channels: int, kernel: int,
     return p
 
 
+# Set by tests to exercise the fused Pallas path in interpreter mode on CPU.
+_FORCE_FUSED_INTERPRET = False
+
+
+def _masked_stats(x: Array, valid: Optional[Array]):
+    """Per-(batch, channel) time-axis mean/var in f32 (instance_norm's
+    exact two-pass formula, so the fused path matches the XLA path)."""
+    xf = x.astype(jnp.float32)
+    if valid is None:
+        return jnp.mean(xf, axis=-2), jnp.var(xf, axis=-2)
+    m = valid[..., None].astype(jnp.float32)
+    count = jnp.maximum(jnp.sum(m, axis=-2), 1.0)
+    mean = jnp.sum(xf * m, axis=-2) / count
+    var = jnp.sum(((xf - mean[..., None, :]) ** 2) * m, axis=-2) / count
+    return mean, var
+
+
+def _fused_adain_snake_conv(p_adain: dict, p_conv: dict, alpha: Array,
+                            x: Array, s: Array, dilation: int,
+                            valid: Optional[Array], vlen: Optional[Array],
+                            interpret: bool) -> Array:
+    """One adain->snake->conv leg through the fused Pallas kernel
+    (ops/snake_conv_pallas.py) with the IN stats folded into scale/shift."""
+    from ....ops.snake_conv_pallas import adain_snake_conv1d, fold_adain
+
+    mean, var = _masked_stats(x, valid)
+    h = apply_linear(p_adain["fc"], s)
+    gamma, beta = jnp.split(h, 2, axis=-1)
+    scale, shift = fold_adain(mean, var, gamma, beta)
+    return adain_snake_conv1d(
+        x, scale, shift, alpha, p_conv["weight"], p_conv.get("bias"),
+        dilation=dilation, valid_len=vlen, interpret=interpret)
+
+
 def adain_res_block1(p: dict, x: Array, s: Array, kernel: int,
                      dilations: Sequence[int],
                      valid: Optional[Array] = None) -> Array:
-    """Snake-activated AdaIN residual block (istftnet.py:341-397)."""
+    """Snake-activated AdaIN residual block (istftnet.py:341-397).
+
+    On TPU the adain+snake+conv legs run through the fused Pallas kernel
+    (one HBM pass each instead of XLA's ~3); stats stay XLA reductions."""
+    from ....ops.snake_conv_pallas import use_fused_snake_conv
+
+    fused = use_fused_snake_conv(x) or _FORCE_FUSED_INTERPRET
+    if fused:
+        vlen = (None if valid is None
+                else jnp.sum(valid.astype(jnp.int32), axis=-1))
+        for i, d in enumerate(dilations):
+            i = str(i)
+            h = _fused_adain_snake_conv(
+                p["adain1"][i], p["convs1"][i], p["alpha1"][i].reshape(-1),
+                x, s, d, valid, vlen, _FORCE_FUSED_INTERPRET)
+            h = _fused_adain_snake_conv(
+                p["adain2"][i], p["convs2"][i], p["alpha2"][i].reshape(-1),
+                h, s, 1, valid, vlen, _FORCE_FUSED_INTERPRET)
+            x = _mask(h + x, valid)
+        return x
     for i, d in enumerate(dilations):
         i = str(i)
         a1 = p["alpha1"][i].reshape(-1)
@@ -215,14 +268,17 @@ def adain_res_block1(p: dict, x: Array, s: Array, kernel: int,
 
 
 def _stft_mag_phase(x: Array, n_fft: int, hop: int):
-    """x (B, T) -> (mag, phase) each (B, frames, n_fft//2+1). Center reflect."""
-    from ....dsp import _pad_center, _window_np, frame_signal
+    """x (B, T) -> (mag, phase) each (B, frames, n_fft//2+1). Center reflect.
+
+    The 20-point rfft is a basis matmul (dsp.rdft_pair), not jnp.fft.rfft:
+    XLA's TPU FFT lowering is pathological at tiny lengths over ~1M frames."""
+    from ....dsp import _pad_center, _window_np, frame_signal, rdft_pair
 
     w = jnp.asarray(_window_np("hann", n_fft, False))  # symmetric, ref stft
     xp = _pad_center(x, n_fft // 2, "reflect")
     frames = frame_signal(xp, n_fft, hop) * w
-    spec = jnp.fft.rfft(frames)
-    return jnp.abs(spec), jnp.arctan2(spec.imag, spec.real)
+    re, im = rdft_pair(frames, n_fft)
+    return jnp.sqrt(re * re + im * im), jnp.arctan2(im, re)
 
 
 def _istft_from_mag_phase(mag: Array, phase: Array, n_fft: int, hop: int):
@@ -315,6 +371,33 @@ def harmonic_source(
 # ---------------------------------------------------------------------------
 # Generator
 # ---------------------------------------------------------------------------
+
+
+def fused_generator_conv_flops(cfg, num_frames: int, batch: int = 1) -> float:
+    """FLOPs of the generator's snake-conv legs that run through the fused
+    Pallas kernel on TPU (ops/snake_conv_pallas.py). XLA's compiled-program
+    cost model can't see inside pallas_call, so MFU accounting (bench.py)
+    adds these analytically: 2*B*T*C*C*k per conv leg, over every
+    resblock/noise_res leg at each upsample stage. Accepts the raw
+    `config.istftnet` dict or any attribute-style config."""
+    get = (cfg.get if isinstance(cfg, dict)
+           else lambda k: getattr(cfg, k))
+    rates = [int(r) for r in get("upsample_rates")]
+    ch0 = int(get("upsample_initial_channel"))
+    flops = 0.0
+    t = num_frames
+    for i, u in enumerate(rates):
+        t = t * u
+        c = ch0 // (2 ** (i + 1))
+        legs = []
+        for rk, rd in zip(get("resblock_kernel_sizes"),
+                          get("resblock_dilation_sizes")):
+            for _ in rd:
+                legs += [int(rk), int(rk)]   # conv1 (dilated) + conv2
+        nk = 11 if i + 1 == len(rates) else 7
+        legs += [nk] * 6                     # noise_res block, 3 dil x 2
+        flops += sum(2.0 * batch * t * c * c * k for k in legs)
+    return flops
 
 
 def init_generator(key, style_dim: int, resblock_kernel_sizes, upsample_rates,
