@@ -40,8 +40,12 @@ __all__ = ["adain_snake_conv1d", "fold_adain", "use_fused_snake_conv"]
 
 
 def use_fused_snake_conv(x: jnp.ndarray) -> bool:
-    """The kernel needs a TPU backend and lane-aligned channels."""
-    return (jax.default_backend() not in ("cpu",)
+    """The kernel needs a TPU backend and lane-aligned channels.
+
+    Allowlist, not a cpu-denylist: the pltpu memory spaces / semaphores
+    only lower through Mosaic, so a GPU (or any other) backend must take
+    the XLA fallback path. 'axon' is a tunnelled TPU and lowers Mosaic."""
+    return (jax.default_backend() in ("tpu", "axon")
             and x.ndim == 3 and x.shape[-1] % 128 == 0)
 
 

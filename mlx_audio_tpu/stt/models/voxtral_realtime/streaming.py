@@ -130,7 +130,15 @@ class VoxtralStreamingSession:
         self._seeded = False
         self._mel_lead = 0
 
-        self._fns: Dict = {}
+        # jitted programs are shared at the MODEL level: /v1/realtime opens
+        # a fresh session per turn, and a per-session cache would re-trace
+        # every program (conv/enc/prefill/step) on each turn — tens of ms
+        # of avoidable first-chunk latency even with a warm XLA cache. All
+        # programs are pure functions of (params, state), so sharing across
+        # sessions is safe; session state lives in the caches, not the fns.
+        if not hasattr(model, "_stream_fns"):
+            model._stream_fns = {}
+        self._fns: Dict = model._stream_fns
 
     # -------------------------------------------------------- public
 
@@ -331,10 +339,11 @@ class VoxtralStreamingSession:
     def _prefill(self) -> None:
         cfg = self.model.config
         d = cfg.decoder
-        fn = self._fns.get("prefill")
+        # cap is baked into the closure, so the model-shared cache keys on
+        # it (sessions may differ in max_session_tokens)
+        fn = self._fns.get(("prefill", self._cap))
         if fn is None:
             cap = self._cap
-            pl = self._prompt_len
 
             def prefill(p, embeds, scales):
                 caches = [KVCache.init(1, cap, d.n_kv_heads, d.head_dim,
@@ -347,7 +356,7 @@ class VoxtralStreamingSession:
                 return logits, caches
 
             fn = jax.jit(prefill)
-            self._fns["prefill"] = fn
+            self._fns[("prefill", self._cap)] = fn
         adapter = self._adapter_cat()
         ids = [cfg.bos_token_id] + [cfg.streaming_pad_token_id] \
             * (self._prompt_len - 1)

@@ -225,9 +225,12 @@ class Model(FunctionalModel):
 
     def _logits(self, p, hidden):
         if "lm_head" in p:
-            return apply_linear(p["lm_head"], hidden)
-        w = p["language_model"]["model"]["embed_tokens"]["weight"]
-        return hidden @ w.T
+            lg = apply_linear(p["lm_head"], hidden)
+        else:
+            w = p["language_model"]["model"]["embed_tokens"]["weight"]
+            lg = hidden @ w.T
+        s = self.config.decoder_config.logits_scaling
+        return lg / s if s != 1.0 else lg
 
     def _connector(self, p, latent):
         c = p["acoustic_connector"]
@@ -261,9 +264,14 @@ class Model(FunctionalModel):
             out = w4 @ h.astype(jnp.float32)
             if "bias" in lm:
                 out = out + lm["bias"][ids].astype(jnp.float32)
-            return out
-        w = p["language_model"]["model"]["embed_tokens"]["weight"]
-        return w[ids].astype(jnp.float32) @ h.astype(jnp.float32)
+        else:
+            w = p["language_model"]["model"]["embed_tokens"]["weight"]
+            out = w[ids].astype(jnp.float32) @ h.astype(jnp.float32)
+        # same logits_scaling division as the full-vocab path — the
+        # FINAL_LATENT_LOGIT_MARGIN compare is scale-sensitive, so a
+        # checkpoint with logits_scaling != 1.0 must divide here too
+        s = self.config.decoder_config.logits_scaling
+        return out / s if s != 1.0 else out
 
     def _prefill2_fn(self, pb: int, use_cfg: bool, cache_len: int):
         """Cached jit: batched prompt prefill into fresh caches.
@@ -496,6 +504,16 @@ class Model(FunctionalModel):
         if self.tokenizer is None:
             raise RuntimeError("Tokenizer not loaded")
         cfg = self.config
+        if max_tokens > LAT_MAX:
+            # the compiled chunk's while-cond and the latent accumulator
+            # are both capped at LAT_MAX; a larger budget would freeze
+            # n_tok at the cap and spin the host loop forever
+            import warnings
+
+            warnings.warn(
+                f"kugelaudio max_tokens={max_tokens} exceeds the on-device "
+                f"latent capacity LAT_MAX={LAT_MAX}; clamping", stacklevel=2)
+            max_tokens = LAT_MAX
         steps = ddpm_steps if ddpm_steps is not None else \
             cfg.diffusion_head_config.ddpm_num_inference_steps
         t0 = time.perf_counter()
@@ -534,12 +552,16 @@ class Model(FunctionalModel):
         max_lat = jnp.int32(min(max_tokens, LAT_MAX))
         n_lat = n_tok = n_chunks = 0
         t_ar0 = time.perf_counter()
+        prev_tok = -1
         while True:
             carry, status = chunk(self.params, carry, plen_d, max_lat)
             n_lat, n_tok, fin = (int(x) for x in np.asarray(status))
             n_chunks += 1
-            if fin or n_tok >= max_tokens:
+            # n_tok == prev_tok: the device while-cond refused every step
+            # (latent buffer full) — a further dispatch would be a no-op
+            if fin or n_tok >= max_tokens or n_tok == prev_tok:
                 break
+            prev_tok = n_tok
         if collect:
             self._last_gen_stats = {
                 "prefill_s": round(t_pf, 4),
@@ -554,7 +576,8 @@ class Model(FunctionalModel):
         # scale/slice/decode fused in ONE device program fed straight from
         # the on-device latent buffer: no latbuf D2H->H2D bounce and no
         # scalar fetches of the scaling factors (2 tunnel RTTs each call)
-        lb = _bucket(n_lat, LATENT_BUCKETS)
+        lb = min(_bucket(n_lat, LATENT_BUCKETS),
+                 int(carry["latbuf"].shape[0]))
         dec = self._jit_cache.get(("dec", lb))
         if dec is None:
             a = cfg.acoustic_tokenizer_config

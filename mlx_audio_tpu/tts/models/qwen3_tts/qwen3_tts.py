@@ -921,11 +921,15 @@ class Model(FunctionalModel):
                 lambda s: jnp.zeros(s.shape, dtype if jnp.issubdtype(
                     s.dtype, jnp.floating) else s.dtype), shapes)
 
+        outcome = {"ok": False, "n_programs": 0, "error": None}
+        self._prewarm_outcome = outcome
+
         def run():
             try:
                 clone = Model(self.config)
                 clone.bind(zeros_tree())
                 clone._jit_cache = self._jit_cache  # share compiled programs
+                before = len(self._jit_cache)
                 for _ in clone.generate(
                         text_ids=np.zeros((1, text_len), np.int32),
                         temperature=temperature, top_k=top_k, top_p=top_p,
@@ -933,8 +937,16 @@ class Model(FunctionalModel):
                         max_tokens=max_tokens, stream=stream,
                         streaming_interval=0.6, seed=0):
                     pass
-            except Exception:   # pragma: no cover - warm is best-effort
-                pass
+                outcome["ok"] = True
+                outcome["n_programs"] = len(self._jit_cache) - before
+            except Exception as e:  # warm is best-effort, never fatal —
+                # but a broken prewarm silently regresses cold start, so
+                # the outcome is recorded for callers/benches to assert on
+                outcome["error"] = f"{type(e).__name__}: {e}"[:300]
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "qwen3_tts prewarm failed: %s", outcome["error"])
 
         t = threading.Thread(target=run, daemon=True,
                              name="qwen3-tts-prewarm")
@@ -1175,9 +1187,18 @@ class Model(FunctionalModel):
             # frames decoded (EOS only ever decodes fewer), so the padded
             # tail of the fixed audio buffer never rides the tunnel
             pend = state["pend_ub"] + n_steps
-            nb = (pend + BLOCK - 1) // BLOCK if final else pend // BLOCK
+            # the fetch slice must always use the ceil bound: the device
+            # flushes ceil(n_pending/BLOCK) blocks whenever EOS fires
+            # (flush = all_fin | final), which can happen on ANY chunk —
+            # a floor slice on a non-final chunk would silently drop up to
+            # BLOCK-1 tail frames when EOS lands on a block-unaligned count
+            nb_fetch = (pend + BLOCK - 1) // BLOCK
+            # consumed-count tracking keeps the no-EOS floor bound for
+            # non-final chunks (after an EOS, state["fin"] ends the loop
+            # before pend_ub is read again)
+            nb = nb_fetch if final else pend // BLOCK
             state["pend_ub"] = max(pend - nb * BLOCK, 0)
-            ub = min(nb * BLOCK, MAX_DEC_BLOCKS * BLOCK) * spf
+            ub = min(nb_fetch * BLOCK, MAX_DEC_BLOCKS * BLOCK) * spf
             audio_d = audio_d[:ub]
             for d in (audio_d, meta_d):
                 if hasattr(d, "copy_to_host_async"):

@@ -89,6 +89,7 @@ class Qwen2DecoderConfig(BaseModelArgs):
     max_position_embeddings: int = 8192
     head_dim: Optional[int] = None
     tie_word_embeddings: bool = False
+    logits_scaling: float = 1.0
 
 
 @dataclass

@@ -63,7 +63,8 @@ def _llama_cfg(d: Qwen2DecoderConfig, n_layers: int) -> LlamaConfig:
         num_attention_heads=d.num_attention_heads,
         num_key_value_heads=d.num_key_value_heads, vocab_size=d.vocab_size,
         rms_norm_eps=d.rms_norm_eps, rope_theta=d.rope_theta,
-        head_dim=d.head_dim, attention_bias=True)   # qwen2: biased qkv
+        head_dim=d.head_dim, attention_bias=True,   # qwen2: biased qkv
+        logits_scaling=d.logits_scaling)
 
 
 # ------------------------------------------------------------------ init

@@ -20,9 +20,8 @@ class CharTok:
         return [100 + (ord(c) % 200) for c in s]
 
 
-@pytest.fixture(scope="module")
-def model():
-    cfg = ModelConfig.from_dict(dict(
+def tiny_cfg():
+    return ModelConfig.from_dict(dict(
         acoustic_tokenizer_config=dict(vae_dim=8, decoder_n_filters=4,
                                        encoder_ratios=[2, 2],
                                        encoder_depths="1-1-1", channels=1),
@@ -34,7 +33,11 @@ def model():
                                    ddpm_num_steps=1000,
                                    ddpm_num_inference_steps=4),
         acoustic_vae_dim=8, tie_word_embeddings=False))
-    m = Model(cfg).init_and_bind()
+
+
+@pytest.fixture(scope="module")
+def model():
+    m = Model(tiny_cfg()).init_and_bind()
     m.tokenizer = CharTok()
     return m
 
@@ -78,6 +81,28 @@ class TestGenerate:
                 assert res[0].samples % 4 == 0
                 return
         pytest.fail("diffusion branch never taken for either bias sign")
+
+    def test_max_tokens_beyond_latent_capacity_terminates(self, monkeypatch):
+        """Regression: max_tokens > LAT_MAX froze n_tok at the device cap
+        while the host break waited for n_tok >= max_tokens — an infinite
+        no-op dispatch loop (reachable from server requests). Now the
+        budget is clamped with a warning and generation terminates."""
+        from mlx_audio_tpu.tts.models.kugelaudio import kugelaudio as q
+
+        monkeypatch.setattr(q, "LAT_MAX", 4)
+        m = Model(tiny_cfg()).init_and_bind()
+        m.tokenizer = CharTok()
+        # +1e4 bias on speech_diffusion: every frame takes the diffusion
+        # branch, so neither END nor EOS ever fires and only the budget
+        # (or the old hang) can end the loop
+        vocab = m.config.decoder_config.vocab_size
+        bias = np.zeros((vocab,), np.float32)
+        bias[SPEECH_DIFFUSION_ID] = 1e4
+        m.params["lm_head"]["bias"] = jnp.asarray(bias)
+        with pytest.warns(UserWarning, match="clamping"):
+            res = list(m.generate("hello there", max_tokens=10,
+                                  cfg_scale=1.0, ddpm_steps=4))
+        assert res[0].samples == 4 * 4  # LAT_MAX latents * hop(=4)
 
     def test_compiled_chunk_matches_two_stream_host_loop(self, model):
         """The b=2 CFG-batched chunk stepper (neg stream sharing cache

@@ -156,3 +156,26 @@ class TestSessionParity:
         bulk = run([audio])
         tiny = run([audio[i:i + 777] for i in range(0, len(audio), 777)])
         assert bulk == tiny
+
+    def test_sessions_share_model_level_jit_cache(self, tmp_path):
+        """/v1/realtime opens a session per turn; the jitted programs must
+        be shared at the model level so turn N+1 pays zero re-tracing."""
+        m = _tiny(tmp_path)
+        s1 = m.create_streaming_session(max_tokens=64)
+        s1.feed(np.zeros(8000, np.float32))
+        s1.close()
+        for _ in range(100):
+            s1.step(max_decode_tokens=4)
+            if s1.done:
+                break
+        keys = set(m._stream_fns)
+        assert keys, "first session compiled nothing"
+        s2 = m.create_streaming_session(max_tokens=64)
+        assert s2._fns is m._stream_fns
+        s2.feed(np.zeros(8000, np.float32))
+        s2.close()
+        for _ in range(100):
+            s2.step(max_decode_tokens=4)
+            if s2.done:
+                break
+        assert set(m._stream_fns) == keys, "second session re-traced"
