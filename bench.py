@@ -6,14 +6,26 @@ go to stderr and BENCH_DETAILS.json.
 
 Random-initialized params at real checkpoint sizes (weights are unavailable
 offline; FLOPs/memory traffic match the real models).
+
+Survivability contract (round-4 lesson: one overrunning lane zeroed the
+whole record): every lane runs under a hard per-lane time box, the headline
+JSON line prints the moment the kokoro lane completes (the driver parses
+the LAST line, so it is re-printed at the end), and BENCH_DETAILS.json is
+flushed to disk after EVERY lane — a driver timeout at any point keeps all
+results captured so far.
 """
 
 import json
 import os
 import sys
+import threading
 import time
 
 import numpy as np
+
+# total wall budget for the whole bench run; lanes that would start with
+# too little headroom are skipped-with-reason instead of risking the record
+TOTAL_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 1380))
 
 
 def bench_kokoro():
@@ -560,10 +572,13 @@ def bench_kugelaudio():
     cfg_scale=3.0 and ddpm_steps=10 on M4 Max').
 
     The exact reference recipe: cfg_scale 3.0 (CFG on), 10 SDE-DPM-Solver++
-    steps per latent. 150 latent frames = 20 s of 24 kHz audio. Random
-    weights never pick speech_diffusion, so a +1e4 lm_head bias on the
-    diffusion row forces every frame down the full AR+diffusion path (the
-    per-frame cost is weight-independent).
+    steps per latent. 64 latent frames = 8.5 s of 24 kHz audio — the
+    per-frame cost is constant (fixed weight+KV stream per frame), so xRT
+    needs only enough frames to amortize prefill/decode tails, not 20 s of
+    audio (round-4's 150-frame lane helped push the bench past the driver
+    budget). Random weights never pick speech_diffusion, so a +1e4 lm_head
+    bias on the diffusion row forces every frame down the full AR+diffusion
+    path (the per-frame cost is weight-independent).
     """
     import jax.numpy as jnp
 
@@ -583,7 +598,7 @@ def bench_kugelaudio():
     text = ("Machine learning systems now synthesize natural speech in "
             "real time on a single accelerator chip, streaming audio to "
             "listeners across the planet.")
-    n_frames, steps = 150, 10
+    n_frames, steps = 64, 10
 
     def run(seed):
         res = list(model.generate(text, cfg_scale=3.0,
@@ -597,7 +612,7 @@ def bench_kugelaudio():
     assert r.samples == n_frames * 3200, (r.samples, n_frames)
 
     walls, stats = [], []
-    for seed in (1, 2, 3):
+    for seed in (1, 2):
         t0 = time.perf_counter()
         r = run(seed)
         walls.append(time.perf_counter() - t0)
@@ -647,7 +662,72 @@ def bench_kugelaudio():
                     bytes_frame / max(frame_s, 1e-12) / 1e9, 1)}}
 
 
-def bench_qwen3_batched(batch_sizes=(1, 4, 8)):
+def bench_realtime_stt():
+    """Streaming-STT latency on the chip (round-4 verdict missing #3):
+    drive a voxtral_realtime session (real Voxtral-Mini-3B-Realtime dims,
+    the model behind /v1/realtime) with 1 s PCM16-rate chunks for 30 s of
+    audio and report p50/p95 per-chunk step latency, end-of-turn ->
+    final-transcript latency, and xRT. "True realtime" = p95 chunk latency
+    under the 1 s chunk duration. The reference's realtime story is
+    qualitative only (ref docs/models/stt/voxtral-realtime.md:93-97); this
+    lane turns it into a number. Session protocol parity: reference
+    voxtral_realtime/streaming.py:388, server.py:1549."""
+    return _realtime_stt_lane()
+
+
+def _realtime_stt_lane(cfg=None, seconds=30):
+    from mlx_audio_tpu.stt.models.voxtral_realtime import Model, ModelConfig
+
+    model = _init_bf16(Model(cfg or ModelConfig()))   # defaults = real dims
+
+    class _Tok:
+        def decode(self, ids):
+            return " ".join(str(i) for i in ids)
+
+    model._tokenizer = _Tok()
+    rng = np.random.RandomState(0)
+    audio = (rng.randn(seconds * 16000) * 0.1).astype(np.float32)
+
+    def drive(n_seconds):
+        sess = model.create_streaming_session(max_tokens=4096)
+        lat = []
+        for i in range(n_seconds):
+            t0 = time.perf_counter()
+            sess.feed(audio[i * 16000:(i + 1) * 16000])
+            # one step per chunk: the decoder is pace-limited by available
+            # adapter frames (12.5 tok/s), so 16 covers a 1 s chunk
+            sess.step(max_decode_tokens=16)
+            lat.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        sess.close()
+        guard = 0
+        while not sess.done and guard < 500:
+            sess.step(max_decode_tokens=32)
+            guard += 1
+        eot = time.perf_counter() - t0
+        return lat, eot, len(sess.generated)
+
+    t0 = time.perf_counter()
+    drive(min(6, seconds))       # compile every program (model-level cache)
+    compile_wall = time.perf_counter() - t0
+    lat, eot, n_tok = drive(seconds)
+    wall = sum(lat) + eot
+    ls = sorted(lat)
+    p50 = ls[len(ls) // 2]
+    p95 = ls[min(len(ls) - 1, int(len(ls) * 0.95))]
+    return {"chunks": len(lat), "chunk_s": 1.0,
+            "step_p50_ms": round(p50 * 1e3, 1),
+            "step_p95_ms": round(p95 * 1e3, 1),
+            "step_max_ms": round(ls[-1] * 1e3, 1),
+            "eot_to_final_s": round(eot, 3),
+            "xrt": round(seconds / wall, 2),
+            "realtime": bool(p95 < 1.0),
+            "decoded_tokens": n_tok,
+            "compile_s": round(compile_wall, 1),
+            "arch": "voxtral-mini-3b-realtime"}
+
+
+def bench_qwen3_batched(batch_sizes=(1, 8)):
     """Continuous-batching aggregate throughput — the TPU's strongest
     serving argument over single-stream MLX (round-2 verdict missing #3).
 
@@ -820,7 +900,7 @@ def bench_compile_cached():
     import subprocess
 
     code = (
-        "import time, numpy as np\n"
+        "import json, time, numpy as np\n"
         "t_imp = time.perf_counter()\n"
         "from mlx_audio_tpu import enable_compilation_cache\n"
         "enable_compilation_cache()\n"
@@ -833,19 +913,25 @@ def bench_compile_cached():
         "        streaming_interval=0.6, seed=0):\n"
         "    if ttfa is None and r.samples > 0:\n"
         "        ttfa = time.perf_counter() - t0\n"
-        "print('CACHED_COMPILE_S', round(time.perf_counter() - t0, 1),\n"
-        "      'SETUP_S', round(t0 - t_imp, 1),\n"
-        "      'TTFA_S', round(ttfa if ttfa is not None else -1, 1))\n"
+        "print('COLD_START', json.dumps({\n"
+        "    'compile_cached_s': round(time.perf_counter() - t0, 1),\n"
+        "    'setup_s': round(t0 - t_imp, 1),\n"
+        "    'ttfa_s': round(ttfa if ttfa is not None else -1, 1),\n"
+        "    'prewarm': model._prewarm_outcome}))\n"
     )
+    # 150 s box (was 900): a production restart that takes longer than this
+    # has lost the cold-start argument anyway, and the 900 s ceiling was a
+    # main culprit in the round-4 driver timeout
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                         text=True, timeout=900,
+                         text=True, timeout=150,
                          cwd=os.path.dirname(os.path.abspath(__file__)))
     for line in out.stdout.splitlines():
-        if line.startswith("CACHED_COMPILE_S"):
-            parts = line.split()
-            return {"compile_cached_s": float(parts[1]),
-                    "setup_s": float(parts[3]),
-                    "ttfa_s": float(parts[5])}
+        if line.startswith("COLD_START "):
+            res = json.loads(line[len("COLD_START "):])
+            # a silently-failed prewarm invalidates the number: surface it
+            if not (res.get("prewarm") or {}).get("ok"):
+                res["warning"] = "prewarm did not complete cleanly"
+            return res
     raise RuntimeError(f"cached-compile subprocess failed: {out.stderr[-800:]}")
 
 
@@ -863,74 +949,120 @@ def _retry(fn, attempts=2):
     raise last
 
 
-def main():
-    from mlx_audio_tpu import enable_compilation_cache
-
-    enable_compilation_cache()
-    details = {}
-    kok = _retry(bench_kokoro)
-    details["kokoro_82m"] = kok
-    print(f"kokoro: {kok}", file=sys.stderr)
-    try:
-        q = _retry(bench_qwen3)
-        details["qwen3_tts_1b7"] = q
-        print(f"qwen3_tts: {q}", file=sys.stderr)
-        details["qwen3_vs_target"] = round(q["xrt"] / 5.0, 3)
-    except Exception as e:
-        print(f"qwen3 bench failed: {e}", file=sys.stderr)
-    try:
-        q8 = _retry(lambda: bench_qwen3(8))
-        details["qwen3_tts_1b7_q8"] = q8
-        print(f"qwen3_tts_q8: {q8}", file=sys.stderr)
-    except Exception as e:
-        print(f"qwen3 q8 bench failed: {e}", file=sys.stderr)
-    try:
-        c = _retry(bench_cohere_asr)
-        details["cohere_asr_10min"] = c
-        print(f"cohere_asr: {c}", file=sys.stderr)
-        details["cohere_vs_ref_m1max"] = round(c["xrt"] / 18.75, 3)
-    except Exception as e:
-        print(f"cohere_asr bench failed: {e}", file=sys.stderr)
-    try:
-        wsp = _retry(bench_whisper)
-        details["whisper_turbo_10min"] = wsp
-        print(f"whisper: {wsp}", file=sys.stderr)
-    except Exception as e:
-        print(f"whisper bench failed: {e}", file=sys.stderr)
-    for bits, key in ((None, "higgs_v2_3b_bf16"), (8, "higgs_v2_3b_q8")):
-        try:
-            h = _retry(lambda b=bits: bench_higgs_v2(b))
-            details[key] = h
-            print(f"{key}: {h}", file=sys.stderr)
-        except Exception as e:
-            print(f"{key} bench failed: {e}", file=sys.stderr)
-    try:
-        k = _retry(bench_kugelaudio)
-        details["kugelaudio_7b"] = k
-        print(f"kugelaudio_7b: {k}", file=sys.stderr)
-    except Exception as e:
-        print(f"kugelaudio bench failed: {e}", file=sys.stderr)
-    try:
-        details["qwen3_tts_batched"] = _retry(bench_qwen3_batched)
-    except Exception as e:
-        print(f"batched bench failed: {e}", file=sys.stderr)
-    try:
-        details["cold_start"] = _retry(bench_compile_cached)
-        print(f"cold_start: {details['cold_start']}", file=sys.stderr)
-    except Exception as e:
-        print(f"cached-compile bench failed: {e}", file=sys.stderr)
-    details["tunnel_rtt_ms"] = measure_sync_rtt()
+def _flush(details):
     try:
         with open("BENCH_DETAILS.json", "w") as f:
             json.dump(details, f, indent=2)
     except OSError:
         pass
-    print(json.dumps({
+
+
+def _headline(details):
+    kok = details.get("kokoro_82m") or {}
+    xrt = kok.get("xrt", 0.0)
+    return json.dumps({
         "metric": "kokoro_82m_xrt",
-        "value": kok["xrt"],
+        "value": xrt,
         "unit": "x_realtime_per_chip",
-        "vs_baseline": round(kok["xrt"] / 50.0, 3),
-    }))
+        "vs_baseline": round(xrt / 50.0, 3),
+    })
+
+
+def _run_lane(name, fn, budget_s, details, t_start, retries=2):
+    """Run one lane under a hard time box, flushing results immediately.
+
+    The lane runs on a worker thread; join(budget) bounds it. A lane that
+    overruns is recorded as a timeout and ABANDONED (daemon thread) — the
+    record of every other lane survives, which is the whole point
+    (round-4's un-boxed lanes lost a 25-minute record to one overrun).
+    """
+    elapsed = time.monotonic() - t_start
+    remaining = TOTAL_BUDGET_S - elapsed
+    if remaining < min(90.0, budget_s):
+        details[name] = {"skipped":
+                         f"global budget: {remaining:.0f}s left"}
+        details.setdefault("_lanes", []).append(
+            {"lane": name, "status": "skipped", "at_s": round(elapsed, 1)})
+        _flush(details)
+        print(f"{name}: SKIPPED ({remaining:.0f}s left)", file=sys.stderr)
+        return None
+    budget = min(budget_s, remaining)
+    box = {}
+
+    def work():
+        try:
+            box["result"] = _retry(fn, attempts=retries)
+        except Exception as e:  # noqa: BLE001 - lane outcome is data
+            box["error"] = f"{type(e).__name__}: {e}"[:400]
+
+    t0 = time.monotonic()
+    worker = threading.Thread(target=work, daemon=True, name=f"lane-{name}")
+    worker.start()
+    worker.join(budget)
+    wall = time.monotonic() - t0
+    if worker.is_alive():
+        details[name] = {"timeout_s": round(budget, 1)}
+        status = "timeout"
+        # short grace so in-flight device work drains before the next lane
+        worker.join(15)
+    elif "error" in box:
+        details[name] = {"error": box["error"]}
+        status = "error"
+    else:
+        details[name] = box["result"]
+        status = "ok"
+    details.setdefault("_lanes", []).append(
+        {"lane": name, "status": status, "wall_s": round(wall, 1)})
+    _flush(details)
+    print(f"{name} [{status}, {wall:.0f}s]: {details[name]}",
+          file=sys.stderr)
+    return box.get("result")
+
+
+def main():
+    from mlx_audio_tpu import enable_compilation_cache
+
+    enable_compilation_cache()
+    t_start = time.monotonic()
+    details = {}
+
+    # ---- headline lane first: its JSON line prints the moment it's done
+    _run_lane("kokoro_82m", bench_kokoro, 300, details, t_start)
+    print(_headline(details), flush=True)
+
+    # ---- remaining lanes, most-important first (a late driver kill keeps
+    # everything already flushed)
+    q = _run_lane("qwen3_tts_1b7", bench_qwen3, 360, details, t_start)
+    if q:
+        details["qwen3_vs_target"] = round(q["xrt"] / 5.0, 3)
+    _run_lane("qwen3_tts_1b7_q8", lambda: bench_qwen3(8), 300, details,
+              t_start)
+    _run_lane("qwen3_tts_batched", bench_qwen3_batched, 300, details,
+              t_start)
+    _run_lane("cold_start", bench_compile_cached, 330, details, t_start,
+              retries=1)
+    _run_lane("kugelaudio_7b", bench_kugelaudio, 330, details, t_start,
+              retries=1)
+    _run_lane("realtime_stt", bench_realtime_stt, 300, details, t_start,
+              retries=1)
+    c = _run_lane("cohere_asr_10min", bench_cohere_asr, 240, details,
+                  t_start)
+    if c:
+        details["cohere_vs_ref_m1max"] = round(c["xrt"] / 18.75, 3)
+    _run_lane("whisper_turbo_10min", bench_whisper, 240, details, t_start)
+    _run_lane("higgs_v2_3b_bf16", lambda: bench_higgs_v2(None), 270,
+              details, t_start)
+    _run_lane("higgs_v2_3b_q8", lambda: bench_higgs_v2(8), 240, details,
+              t_start)
+
+    try:
+        details["tunnel_rtt_ms"] = measure_sync_rtt()
+    except Exception as e:  # noqa: BLE001
+        details["tunnel_rtt_ms"] = str(e)[:100]
+    details["total_wall_s"] = round(time.monotonic() - t_start, 1)
+    _flush(details)
+    # the driver parses the LAST stdout line
+    print(_headline(details), flush=True)
 
 
 if __name__ == "__main__":
