@@ -14,11 +14,111 @@ the Models section of mkdocs.yml)
 from __future__ import annotations
 
 import ast
+import json
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
 PKG = REPO / "mlx_audio_tpu"
 DOCS = REPO / "docs" / "models"
+
+# Bench lanes (BENCH_DETAILS.json keys) that belong to a model family's
+# doc page. Measured tables regenerate from the latest bench run, so
+# flagship pages carry real numbers like the reference's
+# (ref docs/models/tts/higgs_audio.md:156-160) without hand-maintenance.
+BENCH_LANES = {
+    ("tts", "kokoro"): ["kokoro_82m"],
+    ("tts", "qwen3_tts"): ["qwen3_tts_1b7", "qwen3_tts_1b7_q8",
+                           "qwen3_tts_batched", "cold_start"],
+    ("tts", "higgs_audio"): ["higgs_v2_3b_bf16", "higgs_v2_3b_q8"],
+    ("tts", "higgs_audio_v3"): ["higgs_v2_3b_bf16", "higgs_v2_3b_q8"],
+    ("tts", "kugelaudio"): ["kugelaudio_7b"],
+    ("stt", "cohere_asr"): ["cohere_asr_10min"],
+    ("stt", "whisper"): ["whisper_turbo_10min"],
+    ("stt", "voxtral_realtime"): ["realtime_stt"],
+}
+
+BENCH_BEGIN = "<!-- bench:begin (generated from BENCH_DETAILS.json) -->"
+BENCH_END = "<!-- bench:end -->"
+
+
+def _fmt_cell(v) -> str:
+    if isinstance(v, float):
+        return f"{v:g}"
+    return str(v)
+
+
+def _lane_table(name: str, lane: dict) -> list[str]:
+    """One lane -> a two-column metric table (scalars only; from nested
+    roofline dicts keep the three judgment-relevant fields)."""
+    rows = []
+    for k, v in lane.items():
+        if isinstance(v, dict):
+            if k == "roofline":
+                for rk in ("sol_xrt", "pct_of_roofline", "achieved_gbs"):
+                    if rk in v:
+                        rows.append((f"roofline.{rk}", _fmt_cell(v[rk])))
+            elif k == "prewarm":
+                rows.append(("prewarm_ok", _fmt_cell(v.get("ok"))))
+            elif name == "qwen3_tts_batched" and k.startswith("b"):
+                for rk in ("agg_xrt", "ttfa_p50_s"):
+                    if rk in v:
+                        rows.append((f"{k}.{rk}", _fmt_cell(v[rk])))
+        elif isinstance(v, (int, float, str, bool)):
+            if k in ("flops_per_synth",):
+                continue
+            rows.append((k, _fmt_cell(v)))
+    if not rows:
+        return []
+    out = [f"**`{name}`**", "", "| metric | value |", "|---|---|"]
+    out += [f"| {k} | {v} |" for k, v in rows]
+    out.append("")
+    return out
+
+
+def bench_section(task: str, fam: str) -> str:
+    """Measured-performance markdown for a family ('' if no data)."""
+    lanes = BENCH_LANES.get((task, fam))
+    if not lanes:
+        return ""
+    path = REPO / "BENCH_DETAILS.json"
+    if not path.exists():
+        return ""
+    try:
+        details = json.loads(path.read_text())
+    except (OSError, ValueError):
+        return ""
+    blocks = []
+    for lane in lanes:
+        data = details.get(lane)
+        if isinstance(data, dict) and not any(
+                k in data for k in ("error", "timeout_s", "skipped")):
+            blocks += _lane_table(lane, data)
+    if not blocks:
+        return ""
+    head = ["## Measured performance (TPU v5e, one chip)", "",
+            "Randomly-initialized weights at real checkpoint dimensions "
+            "(FLOPs and HBM traffic match the real model); regenerated "
+            "from the latest `bench.py` run — see `BENCH_DETAILS.json` "
+            "and the [TPU performance guide](../../guides/"
+            "tpu-performance.md).", ""]
+    return "\n".join(head + blocks)
+
+
+def inject_bench(md_path: Path, section: str) -> bool:
+    """Idempotently place `section` between bench markers in a hand-written
+    page (replace if present, append if absent). Returns True on change."""
+    text = md_path.read_text()
+    block = f"{BENCH_BEGIN}\n\n{section.strip()}\n\n{BENCH_END}"
+    if BENCH_BEGIN in text and BENCH_END in text:
+        head, _, rest = text.partition(BENCH_BEGIN)
+        _, _, tail = rest.partition(BENCH_END)
+        new = head + block + tail
+    else:
+        new = text.rstrip() + "\n\n" + block + "\n"
+    if new != text:
+        md_path.write_text(new)
+        return True
+    return False
 
 TASKS = ("tts", "stt", "codec", "vad", "sts", "lid")
 
@@ -287,6 +387,9 @@ def gen_page(task: str, fam: str) -> str:
             "mapped by the family's `sanitize` into the functional "
             "parameter tree; `convert.py` handles dtype casts and "
             "quantization (see the quantization guide).", ""]
+    bench = bench_section(task, fam)
+    if bench:
+        lines += [bench, ""]
     lines += [f"*Source: `mlx_audio_tpu/{task}/models/{fam}/{main.name}` "
               f"(reference parity citations in the module docstring).*", ""]
     return "\n".join(lines)
@@ -300,6 +403,10 @@ def main():
                               if p.is_dir() and p.name != "__pycache__"):
             fam = fam_dir.name
             if (task, fam) in HAND_WRITTEN:
+                bench = bench_section(task, fam)
+                if bench:
+                    inject_bench(REPO / "docs"
+                                 / HAND_WRITTEN[(task, fam)], bench)
                 nav[task].append((fam, HAND_WRITTEN[(task, fam)]))
                 continue
             page = gen_page(task, fam)
