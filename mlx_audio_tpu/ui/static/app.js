@@ -147,15 +147,82 @@ function renderHistory() {
     span.textContent = `${item.text.slice(0, 60)} — ${item.when}`;
     const btn = document.createElement("button");
     btn.textContent = "Play";
-    btn.addEventListener("click", () => {
+    btn.addEventListener("click", async () => {
       ttsAudio.src = item.url;
       attachAnalyser(ttsAudio);
+      renderWaveform(await (await fetch(item.url)).blob());
       ttsAudio.play();
     });
     li.append(span, btn);
     ul.appendChild(li);
   }
 }
+
+// -------------------------------------------------------------- waveform
+// Static min/max-envelope render of the generated audio (reference Studio
+// shows the output waveform; ref ui/components/audio-orb.tsx is the live
+// visualizer — the orb above covers that). Playhead tracks the <audio>
+// element; click to seek.
+
+const wave = $("waveform");
+const waveCtx = wave.getContext("2d");
+let waveEnv = null;     // [{min,max} per pixel column]
+let waveDur = 0;
+
+async function renderWaveform(blob) {
+  try {
+    const ctx = new (window.AudioContext || window.webkitAudioContext)();
+    const buf = await ctx.decodeAudioData(await blob.arrayBuffer());
+    const data = buf.getChannelData(0);
+    waveDur = buf.duration;
+    const w = wave.width;
+    const per = Math.max(1, Math.floor(data.length / w));
+    waveEnv = [];
+    for (let i = 0; i < w; i++) {
+      let mn = 1, mx = -1;
+      const s0 = i * per, s1 = Math.min(s0 + per, data.length);
+      for (let s = s0; s < s1; s++) {
+        const v = data[s];
+        if (v < mn) mn = v;
+        if (v > mx) mx = v;
+      }
+      waveEnv.push(s0 < data.length ? { mn, mx } : { mn: 0, mx: 0 });
+    }
+    wave.hidden = false;
+    ctx.close();
+  } catch (e) {
+    wave.hidden = true;
+    waveEnv = null;
+  }
+}
+
+function drawWaveform() {
+  requestAnimationFrame(drawWaveform);
+  if (wave.hidden || !waveEnv) return;
+  const { width: w, height: h } = wave;
+  const css = getComputedStyle(document.documentElement);
+  waveCtx.clearRect(0, 0, w, h);
+  const mid = h / 2;
+  const played = waveDur && ttsAudio.duration
+    ? (ttsAudio.currentTime / ttsAudio.duration) * w : 0;
+  for (let i = 0; i < waveEnv.length; i++) {
+    const { mn, mx } = waveEnv[i];
+    waveCtx.strokeStyle = css.getPropertyValue(
+      i <= played ? "--accent" : "--border").trim() || "#888";
+    waveCtx.beginPath();
+    waveCtx.moveTo(i + 0.5, mid - Math.max(mx * mid * 0.92, 0.6));
+    waveCtx.lineTo(i + 0.5, mid - Math.min(mn * mid * 0.92, -0.6));
+    waveCtx.stroke();
+  }
+}
+drawWaveform();
+
+wave.addEventListener("click", (ev) => {
+  if (!ttsAudio.duration) return;
+  const frac = (ev.offsetX / wave.clientWidth);
+  ttsAudio.currentTime = frac * ttsAudio.duration;
+  ttsAudio.play().catch(() => {});
+});
 
 // Progressive playback of a chunked PCM16 stream: decode each fetch chunk
 // into an AudioBuffer and schedule it back-to-back on a WebAudio clock.
@@ -246,6 +313,7 @@ $("tts-generate").addEventListener("click", async () => {
     const url = URL.createObjectURL(blob);
     ttsAudio.src = url;
     attachAnalyser(ttsAudio);
+    renderWaveform(blob);
     $("tts-play").disabled = false;
     const dl = $("tts-download");
     dl.href = url;
