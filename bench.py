@@ -1019,6 +1019,27 @@ def _run_lane(name, fn, budget_s, details, t_start, retries=2):
     return box.get("result")
 
 
+def _device_alive(timeout_s: float = 90) -> bool:
+    """True once jax.devices() answers within the window. The axon chip
+    grant can stall indefinitely when the pool is busy; a bench that can't
+    get the device should record that and exit rather than burn every
+    lane's budget on the same hang."""
+    box = {}
+
+    def probe():
+        try:
+            import jax
+
+            box["n"] = len(jax.devices())
+        except Exception:  # noqa: BLE001
+            box["n"] = 0
+
+    t = threading.Thread(target=probe, daemon=True, name="device-probe")
+    t.start()
+    t.join(timeout_s)
+    return box.get("n", 0) > 0
+
+
 def main():
     from mlx_audio_tpu import enable_compilation_cache
 
@@ -1029,6 +1050,16 @@ def main():
     # ---- headline lane first: its JSON line prints the moment it's done
     _run_lane("kokoro_82m", bench_kokoro, 300, details, t_start)
     print(_headline(details), flush=True)
+
+    if "xrt" not in (details.get("kokoro_82m") or {}) \
+            and not _device_alive(90):
+        details["device_unreachable"] = True
+        details["total_wall_s"] = round(time.monotonic() - t_start, 1)
+        _flush(details)
+        print("device unreachable: aborting remaining lanes",
+              file=sys.stderr)
+        print(_headline(details), flush=True)
+        return
 
     # ---- remaining lanes, most-important first (a late driver kill keeps
     # everything already flushed)
