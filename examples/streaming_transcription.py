@@ -29,12 +29,14 @@ def main():
     chunk = int(sr * args.chunk_ms / 1000)
     for start in range(0, len(audio), chunk):
         session.feed(audio[start: start + chunk])
-        for piece in session.step():
-            print(piece, end="", flush=True)
+        for ev in session.step():
+            if ev.kind == "delta":
+                print(ev.text, end="", flush=True)
     session.close()
     while not session.done:
-        for piece in session.step():
-            print(piece, end="", flush=True)
+        for ev in session.step():
+            if ev.kind == "delta":
+                print(ev.text, end="", flush=True)
     print()
 
 

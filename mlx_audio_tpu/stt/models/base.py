@@ -7,6 +7,20 @@ from typing import List, Optional
 
 
 @dataclass
+class StreamingEvent:
+    """One step() result from a live STT session.
+
+    The shared protocol between streaming sessions (whisper,
+    voxtral_realtime) and their consumers (`/v1/realtime` in server.py
+    drains `kind == "delta"` text and takes `kind == "final"` as the turn's
+    transcript; reference server.py:1549-1936 consumes the same shape).
+    """
+
+    kind: str  # "delta" | "final"
+    text: str
+
+
+@dataclass
 class STTOutput:
     text: str
     segments: Optional[List[dict]] = None

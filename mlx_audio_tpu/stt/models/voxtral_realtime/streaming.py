@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..base import StreamingEvent
 from ....nn import apply_linear, apply_rms_norm
 from ....ops.attention import attention
 from ....ops.kvcache import KVCache, kv_update, ring_mask, ring_update
@@ -39,6 +40,9 @@ Array = jax.Array
 
 ENC_CHUNK = 64          # conv frames per compiled encoder step
 RING_CAP = 1024         # >= sliding_window 750 + ENC_CHUNK
+DEC_BUCKET = 16         # lockstep decode steps per compiled chunk (>= the
+                        # ~13 adapter frames a 1 s feed produces, so a live
+                        # session pays ONE dispatch+fetch per second)
 
 
 def encoder_stream_step(p: dict, e, x: Array, caches: List[KVCache],
@@ -152,6 +156,11 @@ class VoxtralStreamingSession:
     def done(self) -> bool:
         return self._done
 
+    @property
+    def text(self) -> str:
+        """Committed transcript so far (server finalize reads this)."""
+        return self._prev_text
+
     def feed(self, samples: np.ndarray) -> None:
         if samples is None:
             return
@@ -165,17 +174,26 @@ class VoxtralStreamingSession:
         with self._lock:
             self._closed = True
 
-    def step(self, *, max_decode_tokens: int = 4) -> List[str]:
+    def step(self, *, max_decode_tokens: int = 4) -> List[StreamingEvent]:
+        """Bounded work; returns delta events, plus one final event when
+        the turn completes (shared StreamingEvent protocol — server.py
+        `/v1/realtime` and whisper's session consume the same shape)."""
         if self._done:
             return []
         self._ingest()
+        events: List[StreamingEvent] = []
         if not self._prefilled:
             if self._n_adapter < self._prompt_len:
                 if self._flushed:
                     self._done = True
-                return []
+                    events.append(StreamingEvent("final", self._prev_text))
+                return events
             self._prefill()
-        return self._decode_some(max_decode_tokens)
+        events.extend(StreamingEvent("delta", d)
+                      for d in self._decode_some(max_decode_tokens))
+        if self._done:
+            events.append(StreamingEvent("final", self._prev_text))
+        return events
 
     # --------------------------------------------------------- audio
 
@@ -370,48 +388,97 @@ class VoxtralStreamingSession:
         self._prefilled = True
 
     def _decode_some(self, max_decode_tokens: int) -> List[str]:
+        """Decode up to max_decode_tokens in compiled chunks.
+
+        The hot loop runs as a lax.scan of DEC_BUCKET lockstep steps inside
+        ONE jitted program — one dispatch and one small fetch per step()
+        call instead of two host syncs per token (the embedding-row fetch
+        plus the argmax fetch). k (the number of live steps this chunk) is
+        host-known from adapter availability; only EOS is data-dependent
+        and is masked in-graph. Dispatches past EOS or past k write junk
+        KV at positions >= the resume point, which is safe: every such slot
+        is rewritten by its own real step before any later step attends to
+        it, and the carried token is frozen by the `adv` mask.
+        """
         cfg = self.model.config
         d = cfg.decoder
         eos = cfg.eos_token_id
-        fn = self._fns.get("step")
-        if fn is None:
-            def stepfn(p, embed, caches, pos, scales):
-                h, caches = decoder_forward(p["decoder"], d, embed,
-                                            scales, caches, pos)
-                logits = h[:, 0] @ p["decoder"]["tok_embeddings"][
-                    "weight"].T
-                return jnp.argmax(logits, -1)[0], caches
-
-            fn = jax.jit(stepfn)
-            self._fns["step"] = fn
         deltas: List[str] = []
-        adapter = self._adapter_cat()
-        emb_w = self.model.params["decoder"]["tok_embeddings"]["weight"]
-        for _ in range(max_decode_tokens):
-            if self._n_adapter <= self._pos and not self._flushed:
-                return deltas
-            tok = self._next_tok
-            self.generated.append(tok)
+
+        def emit_text() -> None:
             text = self.model._tokenizer.decode(
                 [t for t in self.generated if t != eos])
             if len(text) > len(self._prev_text):
                 deltas.append(text[len(self._prev_text):])
                 self._prev_text = text
-            if tok == eos or len(self.generated) >= self.max_tokens \
-                    or self._pos >= self._n_adapter \
-                    or self._pos >= self._cap - 1:
+
+        budget = max_decode_tokens
+        while budget > 0 and not self._done:
+            if self._n_adapter <= self._pos and not self._flushed:
+                break                      # pause until more audio arrives
+            k = min(budget, DEC_BUCKET, self._n_adapter - self._pos,
+                    self.max_tokens - len(self.generated),
+                    (self._cap - 1) - self._pos)
+            if k <= 0:
+                # flushed tail / session cap / token budget: emit the
+                # pending token, then the turn is over
+                self.generated.append(self._next_tok)
+                emit_text()
                 self._done = True
-                return deltas
+                break
+            fn = self._fns.get(("dchunk", DEC_BUCKET))
+            if fn is None:
+                def chunk_fn(p, tok0, adapter_sl, k, pos0, caches, scales):
+                    emb_w = p["decoder"]["tok_embeddings"]["weight"]
+
+                    def body(carry, i):
+                        tok, caches, eos_seen = carry
+                        live = jnp.logical_and(i < k,
+                                               jnp.logical_not(eos_seen))
+                        emit = jnp.where(live, tok, -1)
+                        is_eos = tok == eos
+                        eos_seen = jnp.logical_or(
+                            eos_seen, jnp.logical_and(live, is_eos))
+                        embed = adapter_sl[i] + emb_w[tok]
+                        h, caches2 = decoder_forward(
+                            p["decoder"], d, embed[None, None], scales,
+                            caches, pos0 + i)
+                        logits = h[:, 0] @ emb_w.T
+                        nxt = jnp.argmax(logits, -1)[0].astype(jnp.int32)
+                        adv = jnp.logical_and(live,
+                                              jnp.logical_not(is_eos))
+                        tok = jnp.where(adv, nxt, tok)
+                        return (tok, caches2, eos_seen), emit
+
+                    (tok, caches, _), emits = jax.lax.scan(
+                        body, (tok0, caches, jnp.bool_(False)),
+                        jnp.arange(DEC_BUCKET))
+                    return jnp.concatenate([emits, tok[None]]), caches
+
+                fn = jax.jit(chunk_fn)
+                self._fns[("dchunk", DEC_BUCKET)] = fn
             adapter = self._adapter_cat()
-            embed = adapter[self._pos] + np.asarray(emb_w[tok])
-            nxt, self._dec_caches = fn(self.model.params,
-                                       jnp.asarray(embed[None, None]),
-                                       self._dec_caches,
-                                       jnp.int32(self._pos),
-                                       self._scales)
-            self._next_tok = int(np.asarray(nxt))
-            self._pos += 1
+            sl = np.zeros((DEC_BUCKET, d.dim), np.float32)
+            sl[:k] = adapter[self._pos:self._pos + k]
+            out, self._dec_caches = fn(
+                self.model.params, jnp.int32(self._next_tok),
+                jnp.asarray(sl), jnp.int32(k), jnp.int32(self._pos),
+                self._dec_caches, self._scales)
+            out = np.asarray(out)                  # the chunk's ONE sync
+            emitted = [int(t) for t in out[:k] if t != -1]
+            self.generated.extend(emitted)
+            emit_text()
+            if emitted and emitted[-1] == eos:
+                self._pos += len(emitted) - 1      # EOS emit never dispatched
+                self._done = True
+                break
+            self._pos += k
+            self._next_tok = int(out[DEC_BUCKET])
+            budget -= k
+            if len(self.generated) >= self.max_tokens:
+                self._done = True
         return deltas
 
 
-__all__ = ["VoxtralStreamingSession", "encoder_stream_step", "ENC_CHUNK"]
+__all__ = ["VoxtralStreamingSession", "StreamingEvent",
+           "encoder_stream_step", "ENC_CHUNK", "DEC_BUCKET"]

@@ -15,18 +15,12 @@ stays cheap after the first call.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
 from typing import List, Optional
 
 import numpy as np
 
+from ..base import StreamingEvent  # shared session protocol
 from .audio import HOP_LENGTH, SAMPLE_RATE, log_mel_spectrogram, pad_or_trim
-
-
-@dataclass
-class StreamingEvent:
-    kind: str  # "delta" | "final"
-    text: str
 
 
 class WhisperStreamingSession:

@@ -128,13 +128,18 @@ class TestSessionParity:
         sess = m.create_streaming_session(max_tokens=256)
         sess.feed(audio)
         sess.close()
-        deltas = []
+        deltas, finals = [], []
         for _ in range(500):
-            deltas.extend(sess.step(max_decode_tokens=8))
+            for ev in sess.step(max_decode_tokens=8):
+                (deltas if ev.kind == "delta" else finals).append(ev.text)
             if sess.done:
                 break
         assert sess.done
         assert "".join(deltas).strip() == off.text.strip()
+        # shared StreamingEvent protocol: exactly one final event carrying
+        # the full transcript, and session.text agrees (server.py finalize)
+        assert finals == ["".join(deltas)]
+        assert sess.text == "".join(deltas)
 
     def test_incremental_feed_same_as_bulk(self, tmp_path):
         m = _tiny(tmp_path)
@@ -148,7 +153,8 @@ class TestSessionParity:
             s.close()
             out = []
             for _ in range(300):
-                out.extend(s.step(max_decode_tokens=4))
+                out.extend(e.text for e in s.step(max_decode_tokens=4)
+                           if e.kind == "delta")
                 if s.done:
                     break
             return "".join(out)
