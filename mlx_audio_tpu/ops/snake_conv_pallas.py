@@ -84,7 +84,7 @@ def _kernel(valid_ref, x_ref, p_ref, w_ref, o_ref, slab, sem, *,
         x_ref.at[pl.program_id(0), pl.ds(i * block_t, slab_h), :],
         slab, sem).wait()
 
-    vlen = valid_ref[0, 0]
+    vlen = valid_ref[pl.program_id(0), 0]
     c = slab.shape[-1]
     # AdaIN affine + Snake in f32 on the VPU (Mosaic has no bf16 sin);
     # rows outside the valid span zero out so the conv sees the same zero
@@ -148,7 +148,9 @@ def adain_snake_conv1d(
         jnp.broadcast_to(bias_f, (b, c)),
     ], axis=1)                                    # (B, 5, C)
     # (B, 1) rather than (B,): Mosaic requires rank-1 blocks to cover the
-    # whole array, so a per-batch SMEM row needs a rank-2 spec.
+    # whole array. The whole (B, 1) array lives in SMEM (unblocked spec —
+    # a (1, 1) block fails Mosaic's tiling check for B > 1) and the kernel
+    # picks its row by program_id.
     if valid_len is None:
         vlen = jnp.full((b, 1), t, jnp.int32)
     else:
@@ -159,8 +161,7 @@ def adain_snake_conv1d(
                 cdtype=cdtype),
         grid=(b, nb),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda bb, ii: (bb, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 5, c), lambda bb, ii: (bb, 0, 0)),
             pl.BlockSpec((k, c, c), lambda bb, ii: (0, 0, 0)),
