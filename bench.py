@@ -133,12 +133,24 @@ def bench_kokoro():
         out["chip"] = chip
     except Exception as e:
         out["mfu_error"] = str(e)[:200]
-    try:
-        out["batched_b8"] = _kokoro_batched(model, ids, valid, ref_s,
-                                            batch=8)
-    except Exception as e:
-        out["batched_error"] = str(e)[:200]
+    # stash the warm model/inputs for the separate batched lane so its b=8
+    # compile cannot eat the headline lane's time box
+    _KOKORO_CTX.update(model=model, ids=ids, valid=valid, ref_s=ref_s)
     return out
+
+
+_KOKORO_CTX = {}
+
+
+def bench_kokoro_batched():
+    """b=8 aggregate throughput in its own lane (the b=8 acoustic/frontend
+    compile is the single most expensive XLA build in the kokoro family;
+    boxed separately so a cold cache can never zero the headline lane)."""
+    if not _KOKORO_CTX:
+        raise RuntimeError("kokoro lane did not complete; no warm model")
+    return _kokoro_batched(_KOKORO_CTX["model"], _KOKORO_CTX["ids"],
+                           _KOKORO_CTX["valid"], _KOKORO_CTX["ref_s"],
+                           batch=8)
 
 
 def _kokoro_batched(model, ids, valid, ref_s, batch=8):
@@ -919,11 +931,13 @@ def bench_compile_cached():
         "    'ttfa_s': round(ttfa if ttfa is not None else -1, 1),\n"
         "    'prewarm': model._prewarm_outcome}))\n"
     )
-    # 150 s box (was 900): a production restart that takes longer than this
-    # has lost the cold-start argument anyway, and the 900 s ceiling was a
-    # main culprit in the round-4 driver timeout
+    # 240 s box (was 900): the metric is compile_cached_s (clock starts
+    # after setup), but the subprocess also pays ~60-120 s of host-side
+    # 1.7B random-param init on this 1-vCPU box before that clock starts —
+    # the box must cover setup without re-risking the round-4 driver
+    # timeout (the per-lane time box bounds the damage either way)
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                         text=True, timeout=150,
+                         text=True, timeout=240,
                          cwd=os.path.dirname(os.path.abspath(__file__)))
     for line in out.stdout.splitlines():
         if line.startswith("COLD_START "):
@@ -1011,6 +1025,12 @@ def _run_lane(name, fn, budget_s, details, t_start, retries=2):
     else:
         details[name] = box["result"]
         status = "ok"
+    # lane models die as reference cycles: without an explicit collect the
+    # device buffers (10 GB for kugel) survive into the next lane and OOM
+    # the 16 GB chip (measured: gc.collect() returns live_arrays to 0)
+    import gc
+
+    gc.collect()
     details.setdefault("_lanes", []).append(
         {"lane": name, "status": status, "wall_s": round(wall, 1)})
     _flush(details)
@@ -1070,6 +1090,8 @@ def main():
               t_start)
     _run_lane("qwen3_tts_batched", bench_qwen3_batched, 300, details,
               t_start)
+    _run_lane("kokoro_batched_b8", bench_kokoro_batched, 240, details,
+              t_start, retries=1)
     _run_lane("cold_start", bench_compile_cached, 330, details, t_start,
               retries=1)
     _run_lane("kugelaudio_7b", bench_kugelaudio, 330, details, t_start,
@@ -1085,6 +1107,15 @@ def main():
               details, t_start)
     _run_lane("higgs_v2_3b_q8", lambda: bench_higgs_v2(8), 240, details,
               t_start)
+
+    # headline safety net: if the kokoro lane timed out (a cold-cache
+    # compile after a code change can exceed its box), the abandoned worker
+    # has since finished those compiles — a retry with leftover budget is
+    # cheap and rescues the driver-parsed headline metric
+    if "xrt" not in (details.get("kokoro_82m") or {}) \
+            and TOTAL_BUDGET_S - (time.monotonic() - t_start) > 180:
+        _run_lane("kokoro_82m", bench_kokoro, 300, details, t_start,
+                  retries=1)
 
     try:
         details["tunnel_rtt_ms"] = measure_sync_rtt()

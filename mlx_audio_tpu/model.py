@@ -37,6 +37,8 @@ class FunctionalModel:
             if missing:
                 raise ValueError(f"Missing weights: {sorted(missing)[:20]}")
         self.params = params
+        # params-derived caches (e.g. cached prompt embeds) key on this
+        self._params_epoch = getattr(self, "_params_epoch", 0) + 1
 
     def init_and_bind(self, key=None) -> "FunctionalModel":
         """Random-init params (tiny-config tests / benchmarks)."""
@@ -92,6 +94,7 @@ class FunctionalModel:
             else x,
             self.params,
         )
+        self._params_epoch = getattr(self, "_params_epoch", 0) + 1
         return self
 
     def num_params(self) -> int:

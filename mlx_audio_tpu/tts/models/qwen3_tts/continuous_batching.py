@@ -226,6 +226,7 @@ class Qwen3TTSBatchSession:
             hidden[jnp.arange(1), plen - 1], small, trailing, tlen,
             pad_embed, plen, key, temperature=self.options.temperature,
             top_k=self.options.top_k, top_p=self.options.top_p)
+        first_codes = first_codes[0]                      # (G,) batch 1
         # place the next-input embed; step0 only samples from prefill
         # logits (no new KV): the first frame token's KV is written by the
         # next batched step at global column t0+plen, contiguously after
@@ -236,6 +237,124 @@ class Qwen3TTSBatchSession:
             jnp.full((HISTORY_LEN,), -1, jnp.int32))
         history = history.at[slot, -1].set(first_codes[0])
         return caches, embed, valid, finished, history, first_codes, fin[0]
+
+    def _admit_many(self, group) -> None:
+        """Prefill a burst of queued prompts in ONE batched dispatch.
+
+        A cold burst of B requests serially prefilled costs B talker passes
+        and stretches the last admitted stream's TTFA past 2 s (measured,
+        b=8); the prompts are independent, so one (n, pb) batched forward
+        streams the talker weights once for the whole group. Each row's KV
+        is then spliced into its slot rows exactly as serial admission
+        would have — same shared-timeline layout, same garbage-tail
+        invariant (columns >= t stay invalid until a chunk writes them)."""
+        if len(group) == 1:
+            slot, ie, tr, pe = group[0]
+            self._admit(slot, ie, tr, pe)
+            return
+        model = self.model
+        n = len(group)
+        plens = [ie.shape[1] for _, ie, _, _ in group]
+        pb = 1 << max(4, (max(plens) - 1).bit_length())
+        t0s, t = [], self.t
+        for plen in plens:
+            if t + pb + 1 + self.frames_per_step > self.cache_len:
+                raise RuntimeError(
+                    f"session timeline exhausted (t={t}, cap="
+                    f"{self.cache_len}): recycle the session or raise "
+                    "TTSBatchOptions.max_cache_len")
+            t0s.append(t)
+            t += plen
+        embeds = jnp.stack([
+            jnp.pad(ie[0], ((0, pb - ie.shape[1]), (0, 0)))
+            for _, ie, _, _ in group]).astype(self._dtype)        # (n,pb,d)
+        tbs = [tr.shape[1] for _, _, tr, _ in group]
+        tbb = 1 << max(4, (max(tbs) - 1).bit_length())
+        trail = jnp.stack([
+            jnp.pad(tr[0], ((0, tbb - tr.shape[1]), (0, 0)))
+            for _, _, tr, _ in group]).astype(self._dtype)        # (n,tbb,d)
+        pads = jnp.stack([pe.reshape(-1) for *_, pe in group]
+                         ).astype(self._dtype)                    # (n,d)
+        slots_a = jnp.asarray([s for s, *_ in group], jnp.int32)
+        t0s_a = jnp.asarray(t0s, jnp.int32)
+        plens_a = jnp.asarray(plens, jnp.int32)
+        tlens_a = jnp.asarray(tbs, jnp.int32)
+        key = jax.random.fold_in(self.key, self.t)
+        fnkey = ("cb_admit_many", n, pb, tbb, self.B, self.cache_len)
+        fn = model._jit_cache.get(fnkey)
+        if fn is None:
+            fn = jax.jit(self._admit_many_jit, static_argnames=("pb",),
+                         donate_argnums=(1, 2, 3, 4, 5))
+            model._jit_cache[fnkey] = fn
+        (self.caches, self.embed, self.valid, self.finished, self.history,
+         first_codes) = fn(
+            model.params, self.caches, self.embed, self.valid,
+            self.finished, self.history, embeds, plens_a, slots_a, t0s_a,
+            trail, tlens_a, pads, key, pb=pb)
+        if hasattr(first_codes, "copy_to_host_async"):
+            first_codes.copy_to_host_async()
+        if tbb > self._tb:
+            self.trailing = jnp.pad(
+                self.trailing, ((0, 0), (0, tbb - self._tb), (0, 0)))
+            self._tb = tbb
+        for i, (slot, ie, tr, pe) in enumerate(group):
+            self.trailing = self.trailing.at[slot].set(0.0).at[
+                slot, :tr.shape[1]].set(tr[0].astype(self._dtype))
+            self.t_idx = self.t_idx.at[slot].set(1)
+            self.t_len = self.t_len.at[slot].set(tr.shape[1])
+            self.pad_embeds = self.pad_embeds.at[slot].set(
+                pe.reshape(-1).astype(self._dtype))
+            self.codes[slot] = [first_codes[i][None]]
+            self.row_len = self.row_len.at[slot].set(plens[i])
+            self.finished_np[slot] = False
+        self.t = t
+
+    def _admit_many_jit(self, params, caches, embed, valid, finished,
+                        history, prompt_embeds, plens, slots, t0s, trailing,
+                        tlens, pad_embeds, key, *, pb):
+        from .talker import make_stacked_caches, talker_forward
+
+        model = self.model
+        tcfg = model.tcfg
+        n = prompt_embeds.shape[0]
+        # one batched prefill of the whole group (weights stream once)
+        small = make_stacked_caches(
+            tcfg.num_hidden_layers, n, pb, tcfg.num_key_value_heads,
+            tcfg.head_dim, prompt_embeds.dtype)
+        pmask = jnp.where(
+            jnp.arange(pb)[None, None, None, :]
+            < plens[:, None, None, None], 0.0, -jnp.inf)
+        logits, hidden, small = talker_forward(
+            params["talker"], tcfg, prompt_embeds, small, 0,
+            lengths_mask=pmask)
+        # splice each row's KV at its own timeline offset; rows are laid out
+        # in admission order, so later updates overwrite earlier rows'
+        # padding garbage exactly as serial admission does
+        for i in range(n):
+            caches = KVCache(
+                jax.lax.dynamic_update_slice(
+                    caches.k, small.k[:, i:i + 1].astype(caches.k.dtype),
+                    (0, slots[i], t0s[i], 0, 0)),
+                jax.lax.dynamic_update_slice(
+                    caches.v, small.v[:, i:i + 1].astype(caches.v.dtype),
+                    (0, slots[i], t0s[i], 0, 0)))
+        cols = jnp.arange(valid.shape[1])
+        for i in range(n):
+            row = (cols >= t0s[i]) & (cols < t0s[i] + plens[i])
+            valid = valid.at[slots[i]].set(valid[slots[i]] | row)
+        # batched step0: sample the first frame of every admitted row
+        carry1, all_codes, fin = model._step0(
+            params, logits[jnp.arange(n), plens - 1],
+            hidden[jnp.arange(n), plens - 1], small, trailing,
+            tlens[:, None, None], pad_embeds[:, None, :], jnp.int32(0),
+            key, temperature=self.options.temperature,
+            top_k=self.options.top_k, top_p=self.options.top_p)
+        embed = embed.at[slots].set(carry1.embed)
+        finished = finished.at[slots].set(fin)
+        hist_rows = jnp.full((n, HISTORY_LEN), -1, jnp.int32).at[:, -1].set(
+            all_codes[:, 0])
+        history = history.at[slots].set(hist_rows)
+        return caches, embed, valid, finished, history, all_codes
 
     def _make_step(self, k_frames: int):
         """ONE compiled program advancing k_frames for every slot: talker
@@ -378,11 +497,24 @@ class Qwen3TTSBatchSession:
         model = self.model
         n_admit = max(1, int(getattr(self.options, "admits_per_step", 2)
                              or 1))
-        for _ in range(min(n_admit, len(self._admit_queue))):
-            slot, ie, tr, pe = self._admit_queue.pop(0)
-            if not self.active[slot]:      # cancelled while queued
-                continue
-            self._admit(slot, ie, tr, pe)
+        if self._admit_queue:
+            # staggering protects LIVE streams from prefill stalls; a cold
+            # burst has none to protect, so admit the whole queue in one
+            # batched prefill (serial admission put the last stream's TTFA
+            # past 2 s at b=8 — measured; batched puts every stream's first
+            # frame in this same step)
+            live = any(self.active[s] and len(self.codes[s]) > 0
+                       and not self.finished_np[s] for s in range(self.B))
+            take = min(n_admit, len(self._admit_queue)) if live \
+                else len(self._admit_queue)
+            group = []
+            for _ in range(take):
+                slot, ie, tr, pe = self._admit_queue.pop(0)
+                if not self.active[slot]:  # cancelled while queued
+                    continue
+                group.append((slot, ie, tr, pe))
+            if group:
+                self._admit_many(group)
         k_frames = self.frames_per_step
         if self.t + k_frames > self.cache_len:
             # timeline exhausted: flush + finish everything still active
@@ -411,13 +543,21 @@ class Qwen3TTSBatchSession:
         if fn is None:
             fn = self._make_step(k_frames)
             model._jit_cache[key] = fn
+        _t_dispatch = time.perf_counter()
         (self.caches, self.embed, self.valid, self.finished, self.history,
          self.row_len, self.t_idx, self.key, packed) = fn(
             model.params, self.caches, self.embed, self.valid,
             self.finished, self.history, jnp.int32(self.t), self.row_len,
             self.trailing, self.t_idx, self.t_len, self.pad_embeds,
             self.key)
+        _t_sync = time.perf_counter()
         packed_np = np.asarray(packed)          # the chunk's one device sync
+        # per-step wall attribution (dispatch vs device-drain), kept fresh
+        # for profiling and the bench's sync accounting
+        self.last_step_timing = {
+            "dispatch_s": _t_sync - _t_dispatch,
+            "chunk_sync_s": time.perf_counter() - _t_sync,
+        }
         g = model.tcfg.num_code_groups
         codes_np = packed_np[..., :g]           # (K, B, G)
         fin_traj = packed_np[..., g].astype(bool)

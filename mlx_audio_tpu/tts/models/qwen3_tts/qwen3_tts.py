@@ -426,14 +426,48 @@ class Model(FunctionalModel):
             text_ids = np.asarray(self.tokenizer.encode(chat))
         text_ids = np.asarray(text_ids).reshape(1, -1)
         text_embed = self._embed_text_ids(text_ids)
+        combined, codec_last, tts_eos, tts_pad = self._prompt_static(
+            language, speaker, ref_audio)
 
+        role_embed = text_embed[:, :3]
+        parts = [role_embed, combined]
+        if instruct:
+            if self.tokenizer is None:
+                raise ValueError("instruct requires the text tokenizer")
+            instr_ids = np.asarray(self.tokenizer.encode(
+                f"<|im_start|>user\n{instruct}<|im_end|>\n")).reshape(1, -1)
+            parts.insert(0, self._embed_text_ids(instr_ids))
+        input_embeds = jnp.concatenate(parts, axis=1)
+        first_text = text_embed[:, 3:4] + codec_last
+        input_embeds = jnp.concatenate([input_embeds, first_text], axis=1)
+        trailing = jnp.concatenate([text_embed[:, 4:-5], tts_eos], axis=1)
+        return input_embeds, trailing, tts_pad
+
+    def _prompt_static(self, language: str, speaker: Optional[str],
+                       ref_audio: Optional[np.ndarray]):
+        """Text-independent prompt pieces, cached per (language, speaker).
+
+        -> (combined (1, C-1, D) codec prefix already summed with the
+        tts pad/bos embeds, codec_last (1, 1, D), tts_eos, tts_pad).
+        Per-request these were ~8 eager device launches; on a tunneled
+        backend a burst of B submits turned that into the largest slice
+        of the continuous-batching session's first-step drain. ref_audio
+        bypasses the cache (x-vector depends on the waveform)."""
+        cfg, tcfg = self.config, self.tcfg
+        key = (language.lower(), (speaker or "").lower(),
+               getattr(self, "_params_epoch", 0))
+        cache = getattr(self, "_prompt_static_cache", None)
+        if cache is None:
+            cache = self._prompt_static_cache = {}
+        if ref_audio is None:
+            hit = cache.get(key)
+            if hit is not None:
+                return hit
         tts_ids = np.asarray([[cfg.tts_bos_token_id, cfg.tts_eos_token_id,
                                cfg.tts_pad_token_id]])
         tts_embeds = self._embed_text_ids(tts_ids)
         tts_bos, tts_eos, tts_pad = (tts_embeds[:, 0:1], tts_embeds[:, 1:2],
                                      tts_embeds[:, 2:3])
-
-        # speaker + language
         speaker_embed = None
         if ref_audio is not None and self.has_speaker_encoder:
             speaker_embed = self.extract_speaker_embedding(ref_audio)[:, None]
@@ -464,24 +498,15 @@ class Model(FunctionalModel):
                 [codec_embed, speaker_embed.reshape(1, 1, -1), suffix], axis=1)
         else:
             codec_embed = jnp.concatenate([codec_embed, suffix], axis=1)
-
-        role_embed = text_embed[:, :3]
         pad_count = codec_embed.shape[1] - 2
         pads = jnp.broadcast_to(tts_pad,
                                 (1, pad_count, tts_pad.shape[-1]))
-        combined = jnp.concatenate([pads, tts_bos], axis=1) + codec_embed[:, :-1]
-        parts = [role_embed, combined]
-        if instruct:
-            if self.tokenizer is None:
-                raise ValueError("instruct requires the text tokenizer")
-            instr_ids = np.asarray(self.tokenizer.encode(
-                f"<|im_start|>user\n{instruct}<|im_end|>\n")).reshape(1, -1)
-            parts.insert(0, self._embed_text_ids(instr_ids))
-        input_embeds = jnp.concatenate(parts, axis=1)
-        first_text = text_embed[:, 3:4] + codec_embed[:, -1:]
-        input_embeds = jnp.concatenate([input_embeds, first_text], axis=1)
-        trailing = jnp.concatenate([text_embed[:, 4:-5], tts_eos], axis=1)
-        return input_embeds, trailing, tts_pad
+        combined = (jnp.concatenate([pads, tts_bos], axis=1)
+                    + codec_embed[:, :-1])
+        out = (combined, codec_embed[:, -1:], tts_eos, tts_pad)
+        if ref_audio is None:
+            cache[key] = out
+        return out
 
     # ------------------------------------------------------------------
     # voice cloning (ICL) — reference qwen3_tts.py:506-668, 2212
@@ -1373,9 +1398,11 @@ class Model(FunctionalModel):
             fn = jax.jit(self._step0, static_argnames=(
                 "temperature", "top_k", "top_p"))
             self._jit_cache[("step0", tb)] = fn
-        return fn(self.params, logits0, hidden0, caches, trailing, tl,
-                  pad_embed, jnp.int32(plen), key,
-                  temperature=temperature, top_k=top_k, top_p=top_p)
+        carry, all_codes, fin = fn(
+            self.params, logits0, hidden0, caches, trailing, tl,
+            pad_embed, jnp.int32(plen), key,
+            temperature=temperature, top_k=top_k, top_p=top_p)
+        return carry, all_codes[0], fin   # single-stream: (G,) codes
 
     def _step0(self, params, logits0, hidden0, caches, trailing, tl,
                pad_embed, plen, key, *, temperature, top_k, top_p):
@@ -1402,7 +1429,7 @@ class Model(FunctionalModel):
         cp_codes, cp_emb_sum, key = code_predictor_sample(
             cp, cpcfg, hidden0[:, None], code0_embed, key, sample, n_groups)
         all_codes = jnp.concatenate([tok0[:, None], cp_codes],
-                                    axis=-1)[0]  # (G,) batch 1
+                                    axis=-1)      # (b, G)
         text_e = trailing[:, 0:1]
         text_e = jnp.where(jnp.int32(0) < tl, text_e, pad_embed)
         codec_e = code0_embed + cp_emb_sum

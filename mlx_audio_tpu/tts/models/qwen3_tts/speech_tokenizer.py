@@ -376,9 +376,31 @@ def decode_full(p: dict, cfg: Qwen3TTSTokenizerDecoderConfig,
 # ---------------------------------------------------------------------------
 
 
+_INIT_STATE_JIT: dict = {}
+
+
 def init_stream_state(cfg: Qwen3TTSTokenizerDecoderConfig, batch: int = 1,
                       dtype=jnp.float32) -> dict:
-    """Explicit streaming-state pytree (all fixed shapes)."""
+    """Explicit streaming-state pytree (all fixed shapes).
+
+    Jitted as ONE nullary program per (cfg-shape, batch, dtype): built
+    eagerly this is ~50 separate jnp.zeros dispatches, and on a tunneled
+    backend those tiny launches dominate a continuous-batching session's
+    first-step drain (8 submits x ~50 programs measured as the largest
+    slice of a 1.5 s step-0 wall)."""
+    fp = (cfg.codebook_dim, cfg.num_hidden_layers, cfg.num_key_value_heads,
+          cfg.head_dim, tuple(cfg.upsampling_ratios), cfg.latent_dim,
+          tuple(cfg.upsample_rates), cfg.decoder_dim, batch,
+          jnp.dtype(dtype).name)
+    fn = _INIT_STATE_JIT.get(fp)
+    if fn is None:
+        fn = jax.jit(lambda: _init_stream_state_eager(cfg, batch, dtype))
+        _INIT_STATE_JIT[fp] = fn
+    return fn()
+
+
+def _init_stream_state_eager(cfg: Qwen3TTSTokenizerDecoderConfig,
+                             batch: int = 1, dtype=jnp.float32) -> dict:
     z = lambda t, c: jnp.zeros((batch, t, c), dtype)
     state: dict = {
         "offset": jnp.int32(0),

@@ -78,10 +78,11 @@ class TestContinuousSession:
             assert len(audio) % model.total_upsample == 0
             assert np.isfinite(audio).all()
 
-    def test_staggered_admission(self, model):
-        """A burst of submissions admits at most admits_per_step prompts per
-        step; early rows decode (and can stream audio) while later prompts
-        are still queued, and every request still completes."""
+    def test_cold_burst_admits_in_one_step(self, model):
+        """With no live streams to protect, a burst of submissions is
+        admitted in ONE batched prefill on the first step (serial
+        admission measured >2 s TTFA for the last stream at b=8), and
+        every request completes."""
         sess = model.create_tts_batch_session(
             TTSBatchOptions(max_batch_size=4, max_tokens=8,
                             streaming_interval=0.4, admits_per_step=1))
@@ -91,15 +92,45 @@ class TestContinuousSession:
         assert sess.available_slots == 0
         assert len(sess._admit_queue) == 4
         sess.step()
-        assert len(sess._admit_queue) == 3   # exactly one admitted
-        # slots reserved but un-admitted never contribute codes
-        assert sum(bool(c) for c in sess.codes) <= 1
+        assert len(sess._admit_queue) == 0   # cold burst: all admitted
+        assert sum(bool(c) for c in sess.codes) == 4
         for _ in range(40):
             sess.step()
             if sess.idle:
                 break
         assert sess.idle
         for r in reqs:
+            kinds, payloads = _drain(r)
+            assert kinds[-1] == "done"
+            audio = np.concatenate(
+                [p["audio"] for p in payloads if p and "audio" in p])
+            assert len(audio) % model.total_upsample == 0
+
+    def test_staggered_admission_with_live_streams(self, model):
+        """Once a stream is live, later submissions are throttled to
+        admits_per_step per step so running rows keep streaming between
+        prompt prefills — and every request still completes."""
+        sess = model.create_tts_batch_session(
+            TTSBatchOptions(max_batch_size=4, max_tokens=12,
+                            streaming_interval=0.4, admits_per_step=1))
+        first = _req(9, 21)
+        sess.submit(first)
+        sess.step()                      # admits + starts streaming row 0
+        assert sum(bool(c) for c in sess.codes) == 1
+        late = [_req(10 + i, 22 + i) for i in range(3)]
+        for r in late:
+            sess.submit(r)
+        assert len(sess._admit_queue) == 3
+        sess.step()
+        assert len(sess._admit_queue) == 2   # exactly one admitted
+        sess.step()
+        assert len(sess._admit_queue) == 1
+        for _ in range(40):
+            sess.step()
+            if sess.idle:
+                break
+        assert sess.idle
+        for r in [first, *late]:
             kinds, payloads = _drain(r)
             assert kinds[-1] == "done"
             audio = np.concatenate(
