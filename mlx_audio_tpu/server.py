@@ -134,7 +134,16 @@ class TTSExecutionAdapter(BaseModelExecutionAdapter):
             top_k=int(kw.get("top_k", 50)),
             max_tokens=int(kw.get("max_tokens", 1200)),
             streaming_interval=float(kw.get("streaming_interval", 2.0)))
-        return model.create_tts_batch_session(opts)
+        sess = model.create_tts_batch_session(opts)
+        # compile + allocate before the first real request joins (the
+        # broker keeps the session alive across requests)
+        warm = getattr(sess, "warmup", None)
+        if callable(warm):
+            try:
+                warm()
+            except Exception:  # warmup is best-effort; requests still run
+                pass
+        return sess
 
     def run_serial(self, request: InferenceRequest) -> None:
         import inspect

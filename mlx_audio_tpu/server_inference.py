@@ -13,6 +13,7 @@ continuous sessions drain.
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 import time
@@ -138,6 +139,12 @@ class InferenceBroker:
         self._inbox: "queue.Queue[Optional[InferenceRequest]]" = queue.Queue()
         self._adapters: Dict[str, ModelExecutionAdapter] = {}
         self._sessions: Dict[Any, ContinuousBatchSession] = {}
+        # idle sessions are kept warm for a while: their compiled programs
+        # and device buffers make the next burst's first step cheap (a
+        # fresh session pays compile-cache loads + allocator stalls there)
+        self._session_idle_since: Dict[Any, float] = {}
+        self.session_idle_ttl_s = float(
+            os.environ.get("MLX_AUDIO_SESSION_IDLE_TTL_S", "60"))
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
@@ -186,13 +193,16 @@ class InferenceBroker:
         try:
             while not self._stop.is_set():
                 self._drain_inbox(
-                    backlog, block=not backlog and not self._sessions)
+                    backlog,
+                    block=not backlog and not any(
+                        not s.idle for s in self._sessions.values()))
                 backlog = [r for r in backlog if not r.cancel_event.is_set()]
 
                 backlog = self._admit_to_sessions(backlog)
                 self._tick_sessions()
-                if self._sessions:
+                if any(not s.idle for s in self._sessions.values()):
                     # continuous work gets priority; serial waits for drain
+                    # (idle-retained warm sessions don't block serial work)
                     continue
                 if not backlog:
                     continue
@@ -272,9 +282,22 @@ class InferenceBroker:
                    adapter.continuous_batch_key(r))
             session = self._sessions.get(key)
             try:
-                if session is None or session.idle:
+                if session is not None and session.idle:
+                    # reuse the warm session: compiled programs + device
+                    # buffers survive, so the burst's first step skips the
+                    # fresh-session compile/alloc cost
+                    reset = getattr(session, "reset_timeline", None)
+                    if callable(reset):
+                        try:
+                            reset()
+                        except Exception:
+                            session = None
+                    else:
+                        session = None
+                if session is None:
                     session = adapter.create_continuous_batch_session(r)
                     self._sessions[key] = session
+                self._session_idle_since.pop(key, None)
                 session.submit(r)
             except Exception as exc:
                 traceback.print_exc()
@@ -283,13 +306,20 @@ class InferenceBroker:
         return keep
 
     def _tick_sessions(self) -> None:
+        now = time.monotonic()
         for key, session in list(self._sessions.items()):
+            if session.idle:
+                # retained warm: expire after the idle TTL
+                since = self._session_idle_since.setdefault(key, now)
+                if now - since > self.session_idle_ttl_s:
+                    self._sessions.pop(key, None)
+                    self._session_idle_since.pop(key, None)
+                continue
+            self._session_idle_since.pop(key, None)
             try:
                 session.step()
             except Exception as exc:
                 traceback.print_exc()
                 session.fail(exc)
                 self._sessions.pop(key, None)
-                continue
-            if session.idle:
-                self._sessions.pop(key, None)
+                self._session_idle_since.pop(key, None)

@@ -78,9 +78,21 @@ class Qwen3TTSBatchSession:
         self.pad_embeds = jnp.zeros((self.B, d), self._dtype)
         self.requests: List[Optional[object]] = [None] * self.B
         self.codes: List[List[np.ndarray]] = [[] for _ in range(self.B)]
-        self.codec_states = [None] * self.B
+        # ONE batched codec stream state for the whole session (per-row
+        # `offset` so rows admitted at different steps decode through one
+        # program); rows are zero-reset in the admit jits. The codec KV
+        # buffer is right-sized to the per-stream frame cap — the 4096
+        # default reads 30x the needed KV bandwidth per step at b=8.
+        codec_cache = min(
+            4096, max(128, -(-int(options.max_tokens
+                                  + 2 * self.frames_per_step) // 128) * 128))
+        self.codec_state = init_stream_state(self.model.dcfg, batch=self.B,
+                                             per_row_offset=True,
+                                             cache_len=codec_cache)
         self.decoded = [0] * self.B
         self.start_times = [0.0] * self.B
+        # admitted rows' first-frame codes awaiting one batched host fetch
+        self._first_pending: List[tuple] = []
         # (slot, input_embeds, trailing, pad_embed) waiting for admission —
         # step() admits at most options.admits_per_step of these per call so
         # already-running rows keep streaming between prompt prefills
@@ -113,7 +125,6 @@ class Qwen3TTSBatchSession:
             speaker=kwargs.get("voice") or kwargs.get("speaker"))
         self.requests[slot] = request
         self.codes[slot] = []
-        self.codec_states[slot] = init_stream_state(self.model.dcfg, batch=1)
         self.decoded[slot] = 0
         self.start_times[slot] = time.time()
         self.active[slot] = True
@@ -121,6 +132,49 @@ class Qwen3TTSBatchSession:
 
     def add(self, item: TTSBatchItem) -> None:  # protocol alias
         self.submit(item)
+
+    def warmup(self, max_steps: int = 8) -> None:
+        """Run one tiny request through the session and reset the timeline.
+
+        Compiles the serial-admission/chunk/decode programs AND — the part
+        a compile cache can't cover — allocates the session's large device
+        buffers once, so the first real burst doesn't pay allocator stalls
+        inside its first step (measured ~0.4 s of the b=8 step-0 drain on
+        the tunneled backend). A production broker keeps one session alive,
+        so post-warmup TTFA is what requests actually see."""
+
+        class _Req:
+            request_id = "__warmup__"
+            payload = None
+            normalized_kwargs = {"text_ids": np.arange(100, 108)[None]}
+
+            def emit_data(self, *_a, **_k):
+                pass
+
+            def emit_done(self, *_a, **_k):
+                pass
+
+            def emit_error(self, *_a, **_k):
+                pass
+
+        self.submit(_Req())
+        for _ in range(max_steps):
+            self.step()
+            if self.idle:
+                break
+        if not self.idle:
+            self.cancel("__warmup__")
+        self.reset_timeline()
+
+    def reset_timeline(self) -> None:
+        """Zero the shared timeline of an idle session so its full
+        cache_len budget is available again (retired rows already cleared
+        their per-row state; KV contents at invalid columns are masked)."""
+        if self.active.any():
+            raise RuntimeError("reset_timeline requires an idle session")
+        self.t = 0
+        self.valid = jnp.zeros_like(self.valid)
+        self.row_len = jnp.zeros_like(self.row_len)
 
     def cancel(self, request_id: str) -> None:
         for slot, req in enumerate(self.requests):
@@ -153,18 +207,19 @@ class Qwen3TTSBatchSession:
         fn = model._jit_cache.get(("cb_admit", pb, self.B, self.cache_len))
         if fn is None:
             fn = jax.jit(self._admit_jit, static_argnames=("pb",),
-                         donate_argnums=(1, 2, 3, 4, 5))
+                         donate_argnums=(1, 2, 3, 4, 5, 14))
             model._jit_cache[("cb_admit", pb, self.B, self.cache_len)] = fn
         tb = trailing.shape[1]
         tbb = 1 << max(4, (tb - 1).bit_length())
         trailing = jnp.pad(trailing, ((0, 0), (0, tbb - tb), (0, 0)))
         (self.caches, self.embed, self.valid, self.finished, self.history,
-         first_codes, fin0) = fn(
+         self.codec_state, first_codes, fin0) = fn(
             model.params, self.caches, self.embed, self.valid, self.finished,
             self.history, input_embeds, jnp.int32(plen), jnp.int32(slot),
             jnp.int32(self.t), trailing.astype(self._dtype),
             jnp.int32(tb), pad_embed.astype(self._dtype),
-            jax.random.fold_in(self.key, self.t + slot), pb=pb)
+            jax.random.fold_in(self.key, self.t + slot), self.codec_state,
+            pb=pb)
         # device-side trailing state for the in-scan embed advance;
         # t_idx starts at 1: _step0 consumed trailing[0] (matches the
         # single-stream GenCarry.trailing_idx init, qwen3_tts.py:1136)
@@ -185,7 +240,8 @@ class Qwen3TTSBatchSession:
         # chunk's trajectory reports it, and the slot retires then.
         if hasattr(first_codes, "copy_to_host_async"):
             first_codes.copy_to_host_async()
-        self.codes[slot] = [first_codes[None]]
+        self._first_pending.append(([slot], first_codes[None]))
+        self.codes[slot] = []
         self.row_len = self.row_len.at[slot].set(plen)
         # next batched step writes this row's frame-1 KV at column t0+plen
         # (contiguous with the splice; advancing plen+1 here would leave a
@@ -195,7 +251,7 @@ class Qwen3TTSBatchSession:
 
     def _admit_jit(self, params, caches, embed, valid, finished, history,
                    prompt_embeds, plen, slot, t0, trailing, tlen, pad_embed,
-                   key, *, pb):
+                   key, codec_state, *, pb):
         from .talker import make_stacked_caches, talker_forward
 
         model = self.model
@@ -236,7 +292,10 @@ class Qwen3TTSBatchSession:
         history = history.at[slot].set(
             jnp.full((HISTORY_LEN,), -1, jnp.int32))
         history = history.at[slot, -1].set(first_codes[0])
-        return caches, embed, valid, finished, history, first_codes, fin[0]
+        # fresh codec stream for this slot (state rows are per-request)
+        codec_state = jax.tree.map(lambda x: x.at[slot].set(0), codec_state)
+        return (caches, embed, valid, finished, history, codec_state,
+                first_codes, fin[0])
 
     def _admit_many(self, group) -> None:
         """Prefill a burst of queued prompts in ONE batched dispatch.
@@ -270,9 +329,13 @@ class Qwen3TTSBatchSession:
             for _, ie, _, _ in group]).astype(self._dtype)        # (n,pb,d)
         tbs = [tr.shape[1] for _, _, tr, _ in group]
         tbb = 1 << max(4, (max(tbs) - 1).bit_length())
+        if tbb > self._tb:          # grow the session's trailing buffer
+            self.trailing = jnp.pad(
+                self.trailing, ((0, 0), (0, tbb - self._tb), (0, 0)))
+            self._tb = tbb
         trail = jnp.stack([
-            jnp.pad(tr[0], ((0, tbb - tr.shape[1]), (0, 0)))
-            for _, _, tr, _ in group]).astype(self._dtype)        # (n,tbb,d)
+            jnp.pad(tr[0], ((0, self._tb - tr.shape[1]), (0, 0)))
+            for _, _, tr, _ in group]).astype(self._dtype)        # (n,_tb,d)
         pads = jnp.stack([pe.reshape(-1) for *_, pe in group]
                          ).astype(self._dtype)                    # (n,d)
         slots_a = jnp.asarray([s for s, *_ in group], jnp.int32)
@@ -280,38 +343,38 @@ class Qwen3TTSBatchSession:
         plens_a = jnp.asarray(plens, jnp.int32)
         tlens_a = jnp.asarray(tbs, jnp.int32)
         key = jax.random.fold_in(self.key, self.t)
-        fnkey = ("cb_admit_many", n, pb, tbb, self.B, self.cache_len)
+        fnkey = ("cb_admit_many", n, pb, self._tb, self.B, self.cache_len)
         fn = model._jit_cache.get(fnkey)
         if fn is None:
             fn = jax.jit(self._admit_many_jit, static_argnames=("pb",),
-                         donate_argnums=(1, 2, 3, 4, 5))
+                         donate_argnums=(1, 2, 3, 4, 5, 14, 15, 16, 17, 18,
+                                         19))
             model._jit_cache[fnkey] = fn
         (self.caches, self.embed, self.valid, self.finished, self.history,
-         first_codes) = fn(
+         self.trailing, self.t_idx, self.t_len, self.pad_embeds,
+         self.row_len, self.codec_state, first_codes) = fn(
             model.params, self.caches, self.embed, self.valid,
             self.finished, self.history, embeds, plens_a, slots_a, t0s_a,
-            trail, tlens_a, pads, key, pb=pb)
+            trail, tlens_a, pads, key, self.trailing, self.t_idx,
+            self.t_len, self.pad_embeds, self.row_len, self.codec_state,
+            pb=pb)
         if hasattr(first_codes, "copy_to_host_async"):
             first_codes.copy_to_host_async()
-        if tbb > self._tb:
-            self.trailing = jnp.pad(
-                self.trailing, ((0, 0), (0, tbb - self._tb), (0, 0)))
-            self._tb = tbb
-        for i, (slot, ie, tr, pe) in enumerate(group):
-            self.trailing = self.trailing.at[slot].set(0.0).at[
-                slot, :tr.shape[1]].set(tr[0].astype(self._dtype))
-            self.t_idx = self.t_idx.at[slot].set(1)
-            self.t_len = self.t_len.at[slot].set(tr.shape[1])
-            self.pad_embeds = self.pad_embeds.at[slot].set(
-                pe.reshape(-1).astype(self._dtype))
-            self.codes[slot] = [first_codes[i][None]]
-            self.row_len = self.row_len.at[slot].set(plens[i])
+        # defer the host materialization: step() fetches the whole (n, G)
+        # array in ONE transfer after the chunk sync (a per-row np.asarray
+        # of device slices cost n sequential tunnel round trips)
+        self._first_pending.append(
+            ([slot for slot, *_ in group], first_codes))
+        for slot, ie, tr, pe in group:
+            self.codes[slot] = []
             self.finished_np[slot] = False
         self.t = t
 
     def _admit_many_jit(self, params, caches, embed, valid, finished,
                         history, prompt_embeds, plens, slots, t0s, trailing,
-                        tlens, pad_embeds, key, *, pb):
+                        tlens, pad_embeds, key, sess_trailing, sess_t_idx,
+                        sess_t_len, sess_pad_embeds, sess_row_len,
+                        codec_state, *, pb):
         from .talker import make_stacked_caches, talker_forward
 
         model = self.model
@@ -354,7 +417,20 @@ class Qwen3TTSBatchSession:
         hist_rows = jnp.full((n, HISTORY_LEN), -1, jnp.int32).at[:, -1].set(
             all_codes[:, 0])
         history = history.at[slots].set(hist_rows)
-        return caches, embed, valid, finished, history, all_codes
+        # per-row session state scatters, fused here so admission adds ZERO
+        # extra device launches (each eager .at[].set is a separate tunnel
+        # round trip; 5 scatters x n rows dominated the step-0 drain)
+        sess_trailing = sess_trailing.at[slots].set(trailing)
+        sess_t_idx = sess_t_idx.at[slots].set(1)
+        sess_t_len = sess_t_len.at[slots].set(tlens)
+        sess_pad_embeds = sess_pad_embeds.at[slots].set(
+            pad_embeds.astype(sess_pad_embeds.dtype))
+        sess_row_len = sess_row_len.at[slots].set(plens)
+        # fresh codec streams for the admitted rows
+        codec_state = jax.tree.map(lambda x: x.at[slots].set(0), codec_state)
+        return (caches, embed, valid, finished, history, sess_trailing,
+                sess_t_idx, sess_t_len, sess_pad_embeds, sess_row_len,
+                codec_state, all_codes)
 
     def _make_step(self, k_frames: int):
         """ONE compiled program advancing k_frames for every slot: talker
@@ -468,23 +544,43 @@ class Qwen3TTSBatchSession:
         for name in ("embed", "valid", "finished", "history", "row_len",
                      "trailing", "t_idx", "t_len", "pad_embeds"):
             setattr(self, name, dp(getattr(self, name)))
+        # batched codec stream state: every leaf is batch-leading
+        self.codec_state = jax.tree.map(dp, self.codec_state)
         self.key = jax.device_put(self.key, rep)
 
-    def _dispatch_decode(self, slot: int, n_valid: int):
-        """Dispatch slot's codec decode; returns the device array (the
-        host fetch happens later so slot decodes overlap on device)."""
+    def _materialize_first_codes(self):
+        """Fetch admitted rows' first-frame codes: one (n, G) transfer per
+        admission group, inserted ahead of any chunk blocks."""
+        for slots, dev in self._first_pending:
+            arr = np.asarray(dev)
+            for i, slot in enumerate(slots):
+                if self.active[slot]:
+                    self.codes[slot].insert(0, arr[i][None])
+        self._first_pending = []
+
+    def _decode_batch(self, rows):
+        """Decode `rows` = [(slot, n_frames)] (n_frames <= frames_per_step)
+        in ONE row-masked batched program; returns the (B, k*spf) device
+        audio. Rows not in `rows` keep their stream state frozen. Short
+        final blocks are zero-padded to k — the codec is causal, so the
+        first n_frames*spf samples are exact, and the polluted post-EOS
+        state is reset at the row's next admission anyway."""
         model = self.model
-        if n_valid <= self.decoded[slot]:
-            return None
-        block = np.concatenate(
-            [np.asarray(c) for c in self.codes[slot]], axis=0)[
-            self.decoded[slot]: n_valid]
-        codes = jnp.asarray(block.T[None])
-        fn = model._get_stream_decoder(codes.shape[-1])
-        self.codec_states[slot], audio = fn(model.params,
-                                            self.codec_states[slot], codes)
-        self.decoded[slot] = n_valid
-        return audio[0]
+        k = self.frames_per_step
+        g = model.tcfg.num_code_groups
+        blocks = np.zeros((self.B, g, k), np.int32)
+        mask = np.zeros((self.B,), bool)
+        for slot, nf in rows:
+            blk = np.concatenate(
+                [np.asarray(c) for c in self.codes[slot]], axis=0)[
+                self.decoded[slot]: self.decoded[slot] + nf]
+            blocks[slot, :, :nf] = blk.T
+            mask[slot] = True
+            self.decoded[slot] += nf
+        fn = model._get_batch_stream_decoder(self.B, k)
+        self.codec_state, audio = fn(model.params, self.codec_state,
+                                     jnp.asarray(blocks), jnp.asarray(mask))
+        return audio
 
     def step(self) -> List[TTSBatchEvent]:
         """One compiled multi-frame chunk + per-slot codec streaming.
@@ -494,6 +590,7 @@ class Qwen3TTSBatchSession:
         keeps early streams' audio flowing while later prompts prefill."""
         if self.idle:
             return []
+        _t0 = time.perf_counter()
         model = self.model
         n_admit = max(1, int(getattr(self.options, "admits_per_step", 2)
                              or 1))
@@ -516,17 +613,37 @@ class Qwen3TTSBatchSession:
             if group:
                 self._admit_many(group)
         k_frames = self.frames_per_step
+        spf = model.total_upsample
         if self.t + k_frames > self.cache_len:
-            # timeline exhausted: flush + finish everything still active
+            # timeline exhausted: flush + finish everything still active.
+            # Per-row pending never exceeds ~k+1 (decode runs every step),
+            # so a couple of batched k-frame passes drain everything.
             events: List[TTSBatchEvent] = []
+            self._materialize_first_codes()
+            chunks: Dict[int, List[np.ndarray]] = {}
+            while True:
+                rows = []
+                for slot in range(self.B):
+                    if not self.active[slot]:
+                        continue
+                    pend = (sum(c.shape[0] for c in self.codes[slot])
+                            - self.decoded[slot])
+                    if pend > 0:
+                        rows.append((slot, min(pend, k_frames)))
+                if not rows:
+                    break
+                audio_dev = self._decode_batch(rows)
+                audio_np = np.asarray(audio_dev)
+                for slot, nf in rows:
+                    chunks.setdefault(slot, []).append(
+                        audio_np[slot, :nf * spf])
             for slot in range(self.B):
                 if not self.active[slot]:
                     continue
                 req = self.requests[slot]
-                n_valid = sum(c.shape[0] for c in self.codes[slot])
-                audio_dev = self._dispatch_decode(slot, n_valid)
-                if audio_dev is not None and req is not None:
-                    req.emit_data({"audio": np.asarray(audio_dev),
+                parts = chunks.get(slot)
+                if parts and req is not None:
+                    req.emit_data({"audio": np.concatenate(parts),
                                    "sample_rate": model.sample_rate,
                                    "is_final": True})
                 self.finished = self.finished.at[slot].set(True)
@@ -552,11 +669,15 @@ class Qwen3TTSBatchSession:
             self.key)
         _t_sync = time.perf_counter()
         packed_np = np.asarray(packed)          # the chunk's one device sync
-        # per-step wall attribution (dispatch vs device-drain), kept fresh
-        # for profiling and the bench's sync accounting
+        _t_mat = time.perf_counter()
+        self._materialize_first_codes()
+        # per-step wall attribution (admit/dispatch/drain/fetch), kept
+        # fresh for profiling and the bench's sync accounting
         self.last_step_timing = {
+            "admit_s": _t_dispatch - _t0,
             "dispatch_s": _t_sync - _t_dispatch,
-            "chunk_sync_s": time.perf_counter() - _t_sync,
+            "chunk_sync_s": _t_mat - _t_sync,
+            "first_mat_s": time.perf_counter() - _t_mat,
         }
         g = model.tcfg.num_code_groups
         codes_np = packed_np[..., :g]           # (K, B, G)
@@ -567,8 +688,10 @@ class Qwen3TTSBatchSession:
         self.finished_np = fin_traj[-1].copy()
         self.t += k_frames
         events = []
-        pending: List[tuple] = []               # (slot, req, final, audio)
+        finals: Dict[int, bool] = {}
         to_finish: List[tuple] = []             # (slot, req)
+        full_rows: List[tuple] = []             # (slot, k) regular blocks
+        tail_rows: List[tuple] = []             # (slot, nf<k) final tails
         for slot in range(self.B):
             if not self.active[slot]:
                 continue
@@ -582,29 +705,39 @@ class Qwen3TTSBatchSession:
             n_valid = n_before + len(block)
             newly_fin = fin_traj[-1, slot] and not prev_fin[slot]
             hit_max = n_valid >= self.options.max_tokens
-            if newly_fin or hit_max or \
-                    n_valid - self.decoded[slot] >= k_frames:
-                audio_dev = self._dispatch_decode(slot, n_valid)
-                if audio_dev is not None:
-                    pending.append((slot, req, newly_fin or hit_max,
-                                    audio_dev))
+            fin = newly_fin or hit_max
+            pend = n_valid - self.decoded[slot]
+            if pend >= k_frames:
+                full_rows.append((slot, k_frames))
+                pend -= k_frames
+            if fin and pend > 0:
+                tail_rows.append((slot, pend))
+            if fin:
+                finals[slot] = True
             if hit_max and not fin_traj[-1, slot]:
                 self.finished = self.finished.at[slot].set(True)
                 self.finished_np[slot] = True
-            if newly_fin or hit_max:
+            if fin:
                 to_finish.append((slot, req))
-        # fetch all slot decodes after dispatching them: issue every D2H
-        # copy asynchronously first so the host pays ~one round-trip total
-        # instead of one per slot
-        for _, _, _, audio_dev in pending:
-            if hasattr(audio_dev, "copy_to_host_async"):
-                audio_dev.copy_to_host_async()
-        for slot, req, final, audio_dev in pending:
-            audio = np.asarray(audio_dev)
+        # ONE batched decode for the regular k-frame blocks (per-slot
+        # decodes cost B launches + B fetches per step), plus one more for
+        # the finishing rows' short tails when streams end this step
+        _t_dec = time.perf_counter()
+        chunks: Dict[int, List[np.ndarray]] = {}
+        for rows in (full_rows, tail_rows):
+            if not rows:
+                continue
+            audio_np = np.asarray(self._decode_batch(rows))
+            for slot, nf in rows:
+                chunks.setdefault(slot, []).append(audio_np[slot, :nf * spf])
+        self.last_step_timing["decode_s"] = time.perf_counter() - _t_dec
+        for slot, parts in chunks.items():
+            req = self.requests[slot]
+            audio = parts[0] if len(parts) == 1 else np.concatenate(parts)
             if len(audio) and req is not None:
                 req.emit_data({"audio": audio,
                                "sample_rate": model.sample_rate,
-                               "is_final": bool(final)})
+                               "is_final": bool(finals.get(slot))})
                 events.append(TTSBatchEvent(
                     request_id=getattr(req, "request_id", str(slot)),
                     kind="chunk", audio=audio,
@@ -634,5 +767,4 @@ class Qwen3TTSBatchSession:
         self.finished = self.finished.at[slot].set(True)
         self.finished_np[slot] = True
         self.t_len = self.t_len.at[slot].set(0)
-        self.codec_states[slot] = None
         self.codes[slot] = []

@@ -866,6 +866,31 @@ class Model(FunctionalModel):
             self._jit_cache[key] = fn
         return fn
 
+    def _get_batch_stream_decoder(self, batch: int, chunk: int):
+        """Row-masked batched streaming decode for continuous batching:
+        ALL B slots' pending frames decode in ONE program per step (the
+        per-slot variant cost B separate launches + fetches per step).
+        Rows with mask=False keep their previous stream state untouched
+        (their code columns are padding), so slots at different stream
+        ages — per-row `offset` in the state — advance independently."""
+        key = ("codec_stream_batch", batch, chunk)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            def run(p, state, codes, mask):
+                ns, audio = streaming_step(
+                    p["speech_tokenizer"]["decoder"], self.dcfg, state,
+                    codes)
+                ns = jax.tree.map(
+                    lambda new, old: jnp.where(
+                        mask.reshape((-1,) + (1,) * (new.ndim - 1)),
+                        new, old),
+                    ns, state)
+                return ns, audio
+
+            fn = jax.jit(run, donate_argnums=(1,))
+            self._jit_cache[key] = fn
+        return fn
+
     def _get_block_stream_decoder(self, block: int, max_blocks: int):
         """ONE compiled streaming decoder for any frame count: a
         while_loop over `block`-frame sub-steps inside the jit — a single

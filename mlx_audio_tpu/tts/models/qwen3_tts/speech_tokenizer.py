@@ -35,7 +35,7 @@ from ....nn import (
     init_rms_norm,
 )
 from ....ops.attention import attention, decode_attention
-from ....ops.kvcache import KVCache, kv_update
+from ....ops.kvcache import KVCache, kv_update, kv_update_rows
 from ....ops.rope import apply_rope, rope_freqs
 from .config import Qwen3TTSTokenizerDecoderConfig
 
@@ -207,7 +207,14 @@ def pre_transformer_forward(
 ) -> Tuple[Array, Optional[List[KVCache]]]:
     b, t, _ = x.shape
     x = apply_linear(p["input_proj"], x)
-    positions = offset + jnp.arange(t)[None, :]
+    # offset: scalar (single stream) or (B,) per-row stream ages — the
+    # batched continuous-batching decoder runs rows admitted at different
+    # steps through ONE program, so each row carries its own position
+    per_row = getattr(offset, "ndim", 0) == 1
+    if per_row:
+        positions = offset[:, None] + jnp.arange(t)[None, :]   # (B, t)
+    else:
+        positions = offset + jnp.arange(t)[None, :]
     inv_freq = rope_freqs(cfg.head_dim, cfg.rope_theta)
     win = cfg.sliding_window
     new_caches = [] if caches is not None else None
@@ -224,11 +231,12 @@ def pre_transformer_forward(
         q = apply_rope(q, positions, inv_freq)
         k = apply_rope(k, positions, inv_freq)
         if caches is not None:
-            nc = kv_update(caches[i], k, v, offset)
+            nc = (kv_update_rows(caches[i], k, v, offset) if per_row
+                  else kv_update(caches[i], k, v, offset))
             new_caches.append(nc)
             s = nc.k.shape[1]
             pos_s = jnp.arange(s)[None, None, None, :]
-            q_pos = (offset + jnp.arange(t))[None, None, :, None]
+            q_pos = positions[:, None, :, None]            # (B, 1, t, 1)
             ok = (pos_s <= q_pos) & (pos_s > q_pos - win)
             mask = jnp.where(ok, 0.0, -jnp.inf)
             out = attention(q, nc.k, nc.v, mask=mask)
@@ -380,33 +388,49 @@ _INIT_STATE_JIT: dict = {}
 
 
 def init_stream_state(cfg: Qwen3TTSTokenizerDecoderConfig, batch: int = 1,
-                      dtype=jnp.float32) -> dict:
+                      dtype=jnp.float32, per_row_offset: bool = False,
+                      cache_len: Optional[int] = None) -> dict:
     """Explicit streaming-state pytree (all fixed shapes).
 
     Jitted as ONE nullary program per (cfg-shape, batch, dtype): built
     eagerly this is ~50 separate jnp.zeros dispatches, and on a tunneled
     backend those tiny launches dominate a continuous-batching session's
     first-step drain (8 submits x ~50 programs measured as the largest
-    slice of a 1.5 s step-0 wall)."""
+    slice of a 1.5 s step-0 wall).
+
+    per_row_offset=True makes "offset" a (batch,) vector so rows admitted
+    at different times can decode through one batched program.
+
+    cache_len right-sizes the streaming transformer's KV buffer: the
+    default 4096-frame buffer is 2 GB+ at b=8/f32 and attention reads ALL
+    of it every step, so a session that caps streams at ~100 frames pays
+    30x the KV bandwidth it needs (continuous batching passes its own
+    bound)."""
+    cache_len = cache_len or STREAM_CACHE_LEN
     fp = (cfg.codebook_dim, cfg.num_hidden_layers, cfg.num_key_value_heads,
           cfg.head_dim, tuple(cfg.upsampling_ratios), cfg.latent_dim,
           tuple(cfg.upsample_rates), cfg.decoder_dim, batch,
-          jnp.dtype(dtype).name)
+          jnp.dtype(dtype).name, per_row_offset, cache_len)
     fn = _INIT_STATE_JIT.get(fp)
     if fn is None:
-        fn = jax.jit(lambda: _init_stream_state_eager(cfg, batch, dtype))
+        fn = jax.jit(lambda: _init_stream_state_eager(cfg, batch, dtype,
+                                                      per_row_offset,
+                                                      cache_len))
         _INIT_STATE_JIT[fp] = fn
     return fn()
 
 
 def _init_stream_state_eager(cfg: Qwen3TTSTokenizerDecoderConfig,
-                             batch: int = 1, dtype=jnp.float32) -> dict:
+                             batch: int = 1, dtype=jnp.float32,
+                             per_row_offset: bool = False,
+                             cache_len: int = STREAM_CACHE_LEN) -> dict:
     z = lambda t, c: jnp.zeros((batch, t, c), dtype)
     state: dict = {
-        "offset": jnp.int32(0),
+        "offset": (jnp.zeros((batch,), jnp.int32) if per_row_offset
+                   else jnp.int32(0)),
         "pre_conv_buf": z(2, cfg.codebook_dim),
         "tf_caches": [
-            KVCache.init(batch, STREAM_CACHE_LEN, cfg.num_key_value_heads,
+            KVCache.init(batch, cache_len, cfg.num_key_value_heads,
                          cfg.head_dim, dtype)
             for _ in range(cfg.num_hidden_layers)
         ],
