@@ -41,9 +41,21 @@ class FunctionalModel:
         self._params_epoch = getattr(self, "_params_epoch", 0) + 1
 
     def init_and_bind(self, key=None) -> "FunctionalModel":
-        """Random-init params (tiny-config tests / benchmarks)."""
+        """Random-init params (tiny-config tests / benchmarks).
+
+        On accelerator backends the whole init runs as ONE jitted program:
+        eagerly it is one tiny launch per leaf (~300 for a 1.7B model),
+        which costs ~30 s through the tunneled TPU and — being host-side
+        dispatch — starves concurrent threads (prewarm) of the GIL. On CPU
+        (the test suite) eager init avoids per-config compiles."""
         if key is None:
             key = jax.random.PRNGKey(0)
+        if jax.default_backend() != "cpu":
+            try:
+                self.bind(jax.jit(self.init_params)(key))
+                return self
+            except Exception:  # fall back to eager init
+                pass
         self.bind(self.init_params(key))
         return self
 

@@ -963,13 +963,21 @@ class Model(FunctionalModel):
             return
 
         def zeros_tree():
+            # ONE jitted program: eager per-leaf zeros are ~300 separate
+            # launches through the tunnel, serialized against the real
+            # weight load this thread is meant to overlap
             if self.params is not None:
-                return jax.tree.map(
-                    lambda a: jnp.zeros(a.shape, a.dtype), self.params)
-            shapes = jax.eval_shape(self.init_params, jax.random.PRNGKey(0))
-            return jax.tree.map(
-                lambda s: jnp.zeros(s.shape, dtype if jnp.issubdtype(
-                    s.dtype, jnp.floating) else s.dtype), shapes)
+                shapes = jax.tree.map(
+                    lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
+                    self.params)
+            else:
+                raw = jax.eval_shape(self.init_params, jax.random.PRNGKey(0))
+                shapes = jax.tree.map(
+                    lambda s: jax.ShapeDtypeStruct(
+                        s.shape, dtype if jnp.issubdtype(
+                            s.dtype, jnp.floating) else s.dtype), raw)
+            return jax.jit(lambda: jax.tree.map(
+                lambda s: jnp.zeros(s.shape, s.dtype), shapes))()
 
         outcome = {"ok": False, "n_programs": 0, "error": None}
         self._prewarm_outcome = outcome
